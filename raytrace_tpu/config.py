@@ -1,0 +1,57 @@
+"""Render configuration — host mirror of the reference uniform ABI.
+
+``RenderCallInfo`` mirrors /root/reference/src/render_call_info.h:5-13 (the
+std140 padding field ``t[2]`` is omitted; it only exists host-side in the
+reference for alignment).  ``RenderConfig`` collects the CLI-level settings of
+/root/reference/src/main.cpp:13-17 plus TPU-specific knobs that have no Vulkan
+analogue (sample chunking, intersection backend, accumulator dtype).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+from .models.camera import Camera
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderCallInfo:
+    """One render call's uniform data (render_call_info.h:5-13)."""
+
+    number: int = 0  # progressive call index; reference hard-codes 0 (quirk Q3)
+    samples_per_render_call: int = 10
+    offset: Tuple[int, int] = (0, 0)  # (x, y) band offset, ray_trace.cpp:667
+    image_size: Tuple[int, int] = (1920, 1080)  # (width, height)
+    camera_pos: Tuple[float, float, float] = (13.0, 11.0, -3.0)  # ray_trace.cpp:669
+    camera_dir: Tuple[float, float, float] = (-13.0, -11.0, 3.0)  # ray_trace.cpp:670
+
+    @property
+    def camera(self) -> Camera:
+        p = self.camera_pos
+        d = self.camera_dir
+        return Camera(look_from=p, look_at=(p[0] + d[0], p[1] + d[1], p[2] + d[2]))
+
+
+# Constants from the ray-gen shader (/root/reference/shaders/shader.rgen:26-27)
+MAX_RAY_COLLISION_DISTANCE = 10000.0
+MAX_DEPTH = 50
+T_MIN = 0.001  # traceRayEXT tMin, shader.rgen:75
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Full-render settings (CLI surface of main.cpp:13-17 + TPU knobs)."""
+
+    samples: int = 10  # --samples, main.cpp:13
+    store: bool = False  # --store, main.cpp:14 (PNG out; reference never writes, Q2)
+    width: int = 1920  # --width
+    height: int = 1080  # --height
+    chips: int = 1  # --gpus analogue: TPU chips to shard row bands over
+    max_depth: int = MAX_DEPTH
+    samples_per_call: Optional[int] = None  # None = all in one call (reference Q3)
+    rng: str = "reference"  # "reference" = TEA+LCG parity; "pcg" = decorrelated
+    backend: str = "auto"  # intersection backend: auto|xla|pallas
+    scene_time: float = 0.0  # hero-sphere animation time (scene.h:82-83)
+    accum_dtype: str = "float32"  # reference uses dvec3 (Q5); f32 validated in tests
+    out_path: str = "render.png"

@@ -1,0 +1,198 @@
+"""Procedural *Ray Tracing in One Weekend* scene, SoA layout for TPU.
+
+Reproduces the reference's ``generateRandomScene`` (/root/reference/src/scene.h:79-157)
+exactly: the ground sphere, three animated hero spheres, and a 22x22 grid of 484
+small spheres laid out by a default-seeded ``std::mt19937`` (70% diffuse / 15%
+metal / 15% glass, scene.h:129-149), with the HSV random color formula of
+``getRandomColor`` (scene.h:47-77).
+
+Design difference from the reference (TPU-first): the reference stores an
+array-of-structs ``Sphere[512]`` uniform (scene.h:16-29) consumed per-primitive
+by the intersection/hit shaders.  Here the scene is a struct-of-arrays pytree —
+``centers[512,3]``, ``radii[512]``, ... — so ray-vs-all-spheres math vectorizes
+over the sphere axis on the VPU/MXU.  MAX_SPHERE_AMOUNT=512 padding is kept so
+shapes are static; padded entries have radius 0 and can never be hit.
+
+The reference animates the hero spheres by wall-clock time (scene.h:82-83,
+quirk Q8 in SURVEY.md); here the time ``t`` is an explicit parameter so scenes
+are reproducible (pass ``time.time()``-derived values for reference behavior).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple
+
+import numpy as np
+
+from .mt19937 import MT19937, uniform_float
+
+# Material codes — matches MaterialType, /root/reference/src/scene.h:5-9
+DIFFUSE = 0
+METAL = 1
+REFRACTIVE = 2
+
+# Texture codes — matches TextureType, /root/reference/src/scene.h:11-14
+SOLID = 0
+CHECKERED = 1
+
+MAX_SPHERE_AMOUNT = 512  # scene.h:24
+
+
+class SceneArrays(NamedTuple):
+    """SoA scene pytree (numpy or jax arrays; all padded to MAX_SPHERE_AMOUNT).
+
+    Fields mirror ``struct Sphere`` (/root/reference/src/scene.h:16-22):
+    geometry.xyz -> centers, geometry.w -> radii, materialType -> material,
+    textureType -> texture, colors[2] -> color0/color1,
+    materialSpecificAttribute -> attr (metal fuzz or refractive index).
+    """
+
+    centers: np.ndarray  # [S, 3] f32
+    radii: np.ndarray  # [S] f32
+    material: np.ndarray  # [S] i32
+    texture: np.ndarray  # [S] i32
+    color0: np.ndarray  # [S, 3] f32
+    color1: np.ndarray  # [S, 3] f32
+    attr: np.ndarray  # [S] f32
+    n_spheres: np.ndarray  # [] i32 — sphereAmount, scene.h:28
+
+
+def get_random_color(engine: MT19937) -> np.ndarray:
+    """HSV(random h, s=0.75, v=0.45) -> RGB, scene.h:47-77. One engine draw."""
+    h = np.float32(math.floor(uniform_float(engine, 0.0, 360.0)))
+    s = np.float32(0.75)
+    v = np.float32(0.45)
+    c = s * v
+    x = np.float32(c * (1.0 - abs(math.fmod(float(h) / 60.0, 2.0) - 1.0)))
+    m = v - c
+    if 0 <= h < 60:
+        r, g, b = c, x, np.float32(0)
+    elif h < 120:
+        r, g, b = x, c, np.float32(0)
+    elif h < 180:
+        r, g, b = np.float32(0), c, x
+    elif h < 240:
+        r, g, b = np.float32(0), x, c
+    elif h < 300:
+        r, g, b = x, np.float32(0), c
+    else:
+        r, g, b = c, np.float32(0), x
+    return np.array([r + m, g + m, b + m], dtype=np.float32)
+
+
+def generate_random_scene(t: float = 0.0) -> SceneArrays:
+    """Reference-exact final book scene; 488 spheres (scene.h:79-157).
+
+    ``t`` is the animation time in seconds (reference: wall clock, scene.h:82-83).
+    """
+    S = MAX_SPHERE_AMOUNT
+    centers = np.zeros((S, 3), np.float32)
+    radii = np.zeros((S,), np.float32)
+    material = np.zeros((S,), np.int32)
+    texture = np.zeros((S,), np.int32)
+    color0 = np.zeros((S, 3), np.float32)
+    color1 = np.zeros((S, 3), np.float32)
+    attr = np.zeros((S,), np.float32)
+
+    t32 = np.float32(t)
+
+    # Ground sphere — scene.h:85-91
+    centers[0] = (0.0, -1000.0, 1.0)
+    radii[0] = 1000.0
+    material[0] = DIFFUSE
+    texture[0] = CHECKERED
+    color0[0] = (0.05, 0.05, 0.05)
+    color1[0] = (0.95, 0.95, 0.95)
+
+    # Hero spheres — scene.h:93-116 (z animated by cos of wall-clock time)
+    centers[1] = (-4.0, 1.0, np.cos(np.float32(2.0) * t32))
+    radii[1] = 1.0
+    material[1] = DIFFUSE
+    color0[1] = (0.6, 0.3, 0.1)
+
+    centers[2] = (4.0, 1.0, np.cos(np.float32(3.0) * t32))
+    radii[2] = 1.0
+    material[2] = METAL
+    color0[2] = (0.8, 0.8, 0.8)
+
+    centers[3] = (0.0, 1.0, np.cos(t32))
+    radii[3] = 1.0
+    material[3] = REFRACTIVE
+    color0[3] = (1.0, 1.0, 1.0)
+    attr[3] = 1.5
+
+    # 22x22 grid of small spheres — scene.h:118-153
+    engine = MT19937()  # std::mt19937 engine{} — default seed, scene.h:120
+    idx = 4
+    for a in range(-11, 11):
+        for b in range(-11, 11):
+            cx = np.float32(a) + np.float32(0.9) * uniform_float(engine)
+            cz = np.float32(b) + np.float32(0.9) * uniform_float(engine)
+            centers[idx] = (cx, 0.2, cz)
+            radii[idx] = 0.2
+            p = uniform_float(engine)
+            if p < 0.7:
+                material[idx] = DIFFUSE
+                color0[idx] = get_random_color(engine)
+            elif p < 0.85:
+                material[idx] = METAL
+                color0[idx] = (
+                    uniform_float(engine, 0.5, 1.0),
+                    uniform_float(engine, 0.5, 1.0),
+                    uniform_float(engine, 0.5, 1.0),
+                )
+            else:
+                material[idx] = REFRACTIVE
+                color0[idx] = (1.0, 1.0, 1.0)
+                attr[idx] = 1.5
+            idx += 1
+
+    return SceneArrays(
+        centers=centers,
+        radii=radii,
+        material=material,
+        texture=texture,
+        color0=color0,
+        color1=color1,
+        attr=attr,
+        n_spheres=np.int32(idx),
+    )
+
+
+def three_sphere_scene() -> SceneArrays:
+    """Tiny diffuse/metal/glass + ground test scene (BASELINE.json config 1).
+
+    Same hero materials as the book scene, no small-sphere grid — used for fast
+    CPU golden tests.
+    """
+    S = MAX_SPHERE_AMOUNT
+    sc = SceneArrays(
+        centers=np.zeros((S, 3), np.float32),
+        radii=np.zeros((S,), np.float32),
+        material=np.zeros((S,), np.int32),
+        texture=np.zeros((S,), np.int32),
+        color0=np.zeros((S, 3), np.float32),
+        color1=np.zeros((S, 3), np.float32),
+        attr=np.zeros((S,), np.float32),
+        n_spheres=np.int32(4),
+    )
+    sc.centers[0] = (0.0, -1000.0, 1.0)
+    sc.radii[0] = 1000.0
+    sc.texture[0] = CHECKERED
+    sc.color0[0] = (0.05, 0.05, 0.05)
+    sc.color1[0] = (0.95, 0.95, 0.95)
+    sc.centers[1] = (-4.0, 1.0, 1.0)
+    sc.radii[1] = 1.0
+    sc.color0[1] = (0.6, 0.3, 0.1)
+    sc.centers[2] = (4.0, 1.0, 1.0)
+    sc.radii[2] = 1.0
+    sc.material[2] = METAL
+    sc.color0[2] = (0.8, 0.8, 0.8)
+    sc.centers[3] = (0.0, 1.0, 1.0)
+    sc.radii[3] = 1.0
+    sc.material[3] = REFRACTIVE
+    sc.color0[3] = (1.0, 1.0, 1.0)
+    sc.attr[3] = 1.5
+    return sc

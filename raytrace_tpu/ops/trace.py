@@ -1,0 +1,300 @@
+"""Persistent-wavefront path-tracing core — the TPU-native `traceRaysKHR`.
+
+This module replaces the entire Vulkan RT pipeline of the reference
+(/root/reference/shaders/shader.rgen + rint + rchit + rmiss dispatched by
+``traceRaysKHR`` at /root/reference/src/vulkan.h:994) with ONE jitted loop.
+
+Design ("persistent pixel-slot wavefront"): every pixel of the band owns a
+vector lane.  Each ``lax.while_loop`` iteration traces exactly one ray segment
+per lane (intersect -> shade -> scatter).  When a lane's path terminates (sky
+miss, metal absorb, or depth 50), its contribution is added to the lane's
+accumulator and the lane *immediately regenerates* the pixel's next sample —
+so array shapes stay static (XLA requirement) and lane occupancy stays ~100%
+for the whole render, unlike a naive per-sample bounce loop whose lanes idle
+as paths die.  Total iterations ~= spp * mean_path_length + a small tail.
+
+This structure also preserves the reference's RNG semantics exactly: the GLSL
+code runs all samples of a pixel sequentially on one thread with a single
+carried LCG seed (shader.rgen:40,56-60); here each lane carries that same seed
+through bounce -> termination -> regeneration, so in ``backend='bruteforce'``
+mode the draw stream is bit-identical to the oracle/GLSL and images validate
+near-bitwise (SURVEY.md §7 hard-part (b)).
+
+Seed/uv coordinate conventions (multi-GPU parity): the reference seeds from
+*launch-local* coordinates but computes uv from ``offset + launch``
+(shader.rgen:40,45).  ``render_band`` therefore takes both a uv row origin
+(``y0``, the band's global row) and a seed row origin (``seed_y0``): internal
+memory-chunking passes ``seed_y0 = y0`` (identical to a single-GPU reference
+render), while the multi-chip layer passes ``seed_y0 = 0`` to mirror the
+reference's per-GPU banding.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MAX_RAY_COLLISION_DISTANCE, MAX_DEPTH, T_MIN
+from ..models.camera import Camera, calculate_viewport
+from ..models.scene import SceneArrays
+from . import materials
+from . import rng as rngops
+from .intersect import BIG, intersect_bruteforce, intersect_matmul, sphere_constants
+
+_U32 = jnp.uint32
+_SKY = np.array([0.7, 0.8, 1.0], np.float32)  # shader.rmiss:15
+
+
+class DeviceScene(NamedTuple):
+    """Scene data prepared for the device (all jnp-compatible arrays).
+
+    ``centers_t``/``kc`` are the matmul-path precomputes (intersect.py);
+    ``valid`` masks the MAX_SPHERE_AMOUNT padding (scene.h:24-28).
+    """
+
+    centers: jnp.ndarray  # [S,3] f32
+    centers_t: jnp.ndarray  # [3,S] f32
+    radii: jnp.ndarray  # [S] f32
+    kc: jnp.ndarray  # [S] f32 = |c|^2 - r^2 (f64 precompute)
+    valid: jnp.ndarray  # [S] bool
+    material: jnp.ndarray  # [S] i32
+    texture: jnp.ndarray  # [S] i32
+    color0: jnp.ndarray  # [S,3] f32
+    color1: jnp.ndarray  # [S,3] f32
+    attr: jnp.ndarray  # [S] f32
+
+
+class ViewportArrays(NamedTuple):
+    """Viewport constants as arrays (dynamic jit args — no recompiles when the
+    camera animates)."""
+
+    horizontal: jnp.ndarray  # [3]
+    vertical: jnp.ndarray  # [3]
+    upper_left: jnp.ndarray  # [3]
+    cam_up: jnp.ndarray  # [3]
+    cam_right: jnp.ndarray  # [3]
+    look_from: jnp.ndarray  # [3]
+    aperture: jnp.ndarray  # [] f32
+    size: jnp.ndarray  # [2] f32 (width, height) — shader.rgen:42
+
+
+def prepare_scene(scene: SceneArrays) -> DeviceScene:
+    """Host-side scene prep: SoA -> device layout with matmul precomputes."""
+    centers = np.asarray(scene.centers, np.float32)
+    radii = np.asarray(scene.radii, np.float32)
+    n = int(scene.n_spheres)
+    s = centers.shape[0]
+    valid = np.arange(s) < n
+    return DeviceScene(
+        centers=centers,
+        centers_t=np.ascontiguousarray(centers.T),
+        radii=radii,
+        kc=sphere_constants(centers, radii),
+        valid=valid,
+        material=np.asarray(scene.material, np.int32),
+        texture=np.asarray(scene.texture, np.int32),
+        color0=np.asarray(scene.color0, np.float32),
+        color1=np.asarray(scene.color1, np.float32),
+        attr=np.asarray(scene.attr, np.float32),
+    )
+
+
+def viewport_arrays(camera: Camera, width: int, height: int) -> ViewportArrays:
+    """Precompute calculateViewport (shader.rgen:92-105) once on the host."""
+    vp = calculate_viewport(camera, np.float32(width) / np.float32(height))
+    return ViewportArrays(
+        horizontal=vp.horizontal,
+        vertical=vp.vertical,
+        upper_left=vp.upper_left_corner,
+        cam_up=vp.camera_up,
+        cam_right=vp.camera_right,
+        look_from=vp.look_from,
+        aperture=np.float32(vp.aperture),
+        size=np.array([width, height], np.float32),
+    )
+
+
+def _normalize3(v):
+    """GLSL normalize with explicit x,y,z sum order (bit-parity with oracle)."""
+    n2 = v[..., 0] * v[..., 0] + v[..., 1] * v[..., 1] + v[..., 2] * v[..., 2]
+    return v / jnp.sqrt(n2)[..., None]
+
+
+def _camera_rays(seed, fx, fy, vp: ViewportArrays):
+    """Vectorized getCameraRay (shader.rgen:107-115) incl. the uv jitter draws
+    of shader.rgen:57.  ``fx``/``fy`` are the pre-offset pixel coords (f32).
+
+    Draw order per sample: jitter-x, jitter-y, aperture-r1, aperture-r2 —
+    exactly 4 LCG draws, matching the reference stream.
+    """
+    seed, jx = rngops.random_float(seed)
+    seed, jy = rngops.random_float(seed)
+    u = (fx + jx) / vp.size[0]
+    v = (fy + jy) / vp.size[1]
+    seed, r1 = rngops.random_in_interval(seed, -1.0, 1.0)
+    seed, r2 = rngops.random_in_interval(seed, -1.0, 1.0)
+    # normalize(vec2(r1,r2)) * aperture/2 — aperture 0 in the reference (Q4)
+    inv_l = jnp.float32(1.0) / jnp.sqrt(r1 * r1 + r2 * r2)
+    ap = vp.aperture * jnp.float32(0.5)
+    rx = ap * (r1 * inv_l)
+    ry = ap * (r2 * inv_l)
+    offset3 = vp.cam_right[None, :] * rx[:, None] + vp.cam_up[None, :] * ry[:, None]
+    frm = vp.look_from[None, :] + offset3
+    to = (
+        vp.upper_left[None, :]
+        + vp.horizontal[None, :] * u[:, None]
+        - vp.vertical[None, :] * v[:, None]
+    )
+    d = _normalize3(to - frm)
+    return seed, frm, d
+
+
+def _intersect(backend: str, scene: DeviceScene, o, d):
+    tmin = jnp.float32(T_MIN)
+    tmax = jnp.float32(MAX_RAY_COLLISION_DISTANCE)
+    if backend == "bruteforce":
+        return intersect_bruteforce(o, d, scene.centers, scene.radii, scene.valid, tmin, tmax)
+    if backend == "matmul":
+        return intersect_matmul(o, d, scene.centers_t, scene.kc, scene.valid, tmin, tmax)
+    if backend == "pallas":
+        from .pallas_intersect import intersect_pallas
+
+        return intersect_pallas(o, d, scene.centers_t, scene.kc, scene.valid, tmin, tmax)
+    raise ValueError(f"unknown intersect backend: {backend!r}")
+
+
+def render_band_core(
+    scene: DeviceScene,
+    vp: ViewportArrays,
+    *,
+    band_h: int,
+    width: int,
+    y0,  # global row of the band's first row (dynamic i32) — uv offset
+    seed_y0,  # row origin for RNG seeding (dynamic i32); see module docstring
+    offset_x,  # RenderCallInfo.offset.x (dynamic i32)
+    spp,  # samples per render call (dynamic i32)
+    number,  # RenderCallInfo.number (dynamic u32) — progressive call index
+    accum_init=None,  # [band_h, width, 3] f32 carried accumulator, or None
+    max_depth: int = MAX_DEPTH,
+    backend: str = "matmul",
+    return_iters: bool = False,
+):
+    """Render one row band; returns the accumulated color sum [band_h, W, 3].
+
+    Implements shader.rgen main() semantics: per-pixel seed
+    ``tea(tea(x, y), number)``, ``spp`` sequential jittered samples, and the
+    iterative <=``max_depth`` bounce loop of calculateRayColor
+    (shader.rgen:70-89) — restructured as a persistent-wavefront loop (module
+    docstring).  Divide by spp and sqrt for the display image (gamma 2).
+    """
+    n = band_h * width
+    lane = jnp.arange(n, dtype=jnp.int32)
+    px = lane % width
+    py_local = lane // width
+    py_seed = (seed_y0 + py_local).astype(jnp.uint32)
+    # uv pixel coords: offset + launch id (shader.rgen:45,57)
+    fx = (offset_x + px).astype(jnp.float32)
+    fy = (y0 + py_local).astype(jnp.float32)
+
+    seed0 = rngops.tea_hash(
+        rngops.tea_hash(px.astype(jnp.uint32), py_seed), jnp.uint32(number)
+    )
+    seed, o, d = _camera_rays(seed0, fx, fy, vp)
+
+    if accum_init is None:
+        acc0 = jnp.zeros((n, 3), jnp.float32)
+    else:
+        acc0 = accum_init.reshape(n, 3)
+
+    spp = jnp.int32(spp)
+    sky = jnp.asarray(_SKY)
+
+    state = dict(
+        seed=seed,
+        sidx=jnp.ones((n,), jnp.int32),  # samples issued so far
+        depth=jnp.zeros((n,), jnp.int32),
+        o=o,
+        d=d,
+        thr=jnp.ones((n, 3), jnp.float32),
+        acc=acc0,
+        alive=jnp.broadcast_to(spp > 0, (n,)),
+        iters=jnp.int32(0),
+    )
+
+    def cond(st):
+        return jnp.any(st["alive"])
+
+    def body(st):
+        seed, o, d, alive = st["seed"], st["o"], st["d"], st["alive"]
+        t, idx, hit = _intersect(backend, scene, o, d)
+
+        point = o + t[:, None] * d  # shader.rint:33
+        center = jnp.take(scene.centers, idx, axis=0)
+        mat = jnp.take(scene.material, idx, axis=0)
+        tex = jnp.take(scene.texture, idx, axis=0)
+        c0 = jnp.take(scene.color0, idx, axis=0)
+        c1 = jnp.take(scene.color1, idx, axis=0)
+        attr = jnp.take(scene.attr, idx, axis=0)
+
+        # shader.rchit:41-43
+        outward = _normalize3(point - center)
+        ddn = outward[:, 0] * d[:, 0] + outward[:, 1] * d[:, 1] + outward[:, 2] * d[:, 2]
+        front = ddn < 0.0
+        normal = jnp.where(front[:, None], outward, -outward)
+
+        att = materials.texture_color(point, tex, c0, c1)
+        seed_h, sd, does_scatter = materials.scatter(seed, d, normal, front, mat, attr)
+
+        scatters = hit & does_scatter
+        deep = (st["depth"] + 1) >= max_depth
+        cont = alive & scatters & ~deep
+        term = alive & ~cont
+
+        # lightSourceColor: sky on miss; attenuation on absorb (rgen:82-86);
+        # 0 when the depth cap kills a still-scattering path (rgen:74,89).
+        light = jnp.where(
+            hit[:, None],
+            jnp.where(does_scatter[:, None], jnp.zeros((1, 3), jnp.float32), att),
+            sky[None, :],
+        )
+        acc = st["acc"] + jnp.where(term[:, None], st["thr"] * light, 0.0)
+
+        # Seed: hits consumed material draws; misses consumed none.
+        seed_a = jnp.where(hit, seed_h, seed)
+
+        regen = term & (st["sidx"] < spp)
+        seed_r, o_r, d_r = _camera_rays(seed_a, fx, fy, vp)
+
+        new = dict(
+            seed=jnp.where(alive, jnp.where(regen, seed_r, seed_a), seed),
+            sidx=st["sidx"] + regen.astype(jnp.int32),
+            depth=jnp.where(cont, st["depth"] + 1, jnp.where(regen, 0, st["depth"])),
+            o=jnp.where(cont[:, None], point, jnp.where(regen[:, None], o_r, o)),
+            d=jnp.where(
+                cont[:, None], _normalize3(sd), jnp.where(regen[:, None], d_r, d)
+            ),
+            thr=jnp.where(
+                cont[:, None], st["thr"] * att, jnp.where(regen[:, None], 1.0, st["thr"])
+            ),
+            acc=acc,
+            alive=alive & (cont | regen),
+            iters=st["iters"] + 1,
+        )
+        return new
+
+    out = jax.lax.while_loop(cond, body, state)
+    acc = out["acc"].reshape(band_h, width, 3)
+    if return_iters:
+        return acc, out["iters"]
+    return acc
+
+
+render_band = jax.jit(
+    render_band_core,
+    static_argnames=("band_h", "width", "max_depth", "backend", "return_iters"),
+)
+

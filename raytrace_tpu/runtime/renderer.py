@@ -1,0 +1,141 @@
+"""Single-device render orchestrator — the TPU analogue of L4.
+
+Replaces the per-GPU resource fan-out + frame loop of
+``ray_trace_with_physical_devices`` (/root/reference/src/ray_trace.cpp:42-920).
+On TPU there are no swapchains/fences/descriptor sets to manage; what remains
+of L4 is (a) memory-driven row-band chunking of the pixel grid (one jit call
+per band — the analogue of one ``traceRaysKHR`` dispatch), (b) the progressive
+multi-call accumulation path the reference's design anticipates but neuters
+(quirk Q3: binding 3 + ``RenderCallInfo.number``), and (c) the frame loop with
+``duration_per_frame`` timing (ray_trace.cpp:576,741-748).
+
+Internal chunking is seed-transparent: chunks seed from *global* pixel
+coordinates, so any chunk_rows setting produces bit-identical output to an
+unchunked render (unlike reference multi-GPU banding, which reseeds per band —
+that behavior lives in ``parallel/sharding.py``).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..config import MAX_DEPTH, RenderConfig
+from ..models.camera import Camera
+from ..models.scene import SceneArrays, generate_random_scene
+from ..ops import image as imageops
+from ..ops.trace import DeviceScene, prepare_scene, render_band, viewport_arrays
+
+# [N, S] intersection intermediates drive the band size for the XLA backends;
+# the Pallas backend never materializes them and can take far larger bands.
+_TARGET_SLOTS = {"bruteforce": 1 << 14, "matmul": 1 << 18, "pallas": 1 << 20}
+
+
+def reference_camera() -> Camera:
+    """Fixed camera of the reference frame loop (ray_trace.cpp:669-670, Q4):
+    pos (13,11,-3) looking at the origin; fov/aperture/focus baked in rgen."""
+    return Camera(look_from=(13.0, 11.0, -3.0), look_at=(0.0, 0.0, 0.0))
+
+
+def pick_backend(requested: str = "auto") -> str:
+    """auto -> pallas on TPU, matmul elsewhere (CPU tests, debugging)."""
+    if requested != "auto":
+        return requested
+    # matmul everywhere for now; flips to the Pallas kernel on TPU once
+    # ops/pallas_intersect.py lands (perf push).
+    return "matmul"
+
+
+class Renderer:
+    """Renders full frames for one logical device (one band = one jit call)."""
+
+    def __init__(self, config: RenderConfig, scene: Optional[SceneArrays] = None):
+        self.config = config
+        self.backend = pick_backend(config.backend)
+        self.scene = scene if scene is not None else generate_random_scene(config.scene_time)
+        self.device_scene: DeviceScene = prepare_scene(self.scene)
+        w, h = config.width, config.height
+        target = _TARGET_SLOTS.get(self.backend, 1 << 18)
+        self.chunk_rows = max(1, min(h, target // max(w, 1)))
+        self.vp = viewport_arrays(reference_camera(), w, h)
+
+    def set_scene(self, scene: SceneArrays) -> None:
+        self.scene = scene
+        self.device_scene = prepare_scene(scene)
+
+    def render_call(self, spp: int, number: int = 0, accum=None):
+        """One render call (= one traceRaysKHR dispatch): spp samples/pixel.
+
+        Returns the accumulated color sum [H, W, 3] (device array, pre-gamma).
+        ``accum`` carries the running sum for progressive rendering.
+        """
+        cfg = self.config
+        w, h = cfg.width, cfg.height
+        bands = []
+        for band_y0 in range(0, h, self.chunk_rows):
+            band_h = min(self.chunk_rows, h - band_y0)
+            init = None if accum is None else accum[band_y0 : band_y0 + band_h]
+            bands.append(
+                render_band(
+                    self.device_scene,
+                    self.vp,
+                    band_h=band_h,
+                    width=w,
+                    y0=np.int32(band_y0),
+                    seed_y0=np.int32(band_y0),  # global coords: chunk-invariant
+                    offset_x=np.int32(0),
+                    spp=np.int32(spp),
+                    number=np.uint32(number),
+                    accum_init=init,
+                    max_depth=cfg.max_depth,
+                    backend=self.backend,
+                )
+            )
+        import jax.numpy as jnp
+
+        return jnp.concatenate(bands, axis=0)
+
+    def render(self, samples: Optional[int] = None):
+        """Full render: ``samples`` total spp, split into progressive calls of
+        ``config.samples_per_call`` (reference runs everything in one call,
+        quirk Q3).  Returns (accum_sum [H,W,3], total_spp)."""
+        cfg = self.config
+        total = cfg.samples if samples is None else samples
+        per_call = cfg.samples_per_call or total
+        accum = None
+        number = 0
+        done = 0
+        while done < total:
+            spp = min(per_call, total - done)
+            accum = self.render_call(spp, number=number, accum=accum)
+            done += spp
+            number += 1
+        return accum, total
+
+    def render_u8(self, samples: Optional[int] = None) -> np.ndarray:
+        """Render and tonemap to the display image (u8 RGB, host array)."""
+        accum, total = self.render(samples)
+        return np.asarray(imageops.accum_to_u8(accum, total))
+
+    def benchmark(self, min_seconds: float = 4.0, warmup: int = 1):
+        """Frame-loop benchmark with the reference's adaptive measurement
+        window: duration_per_frame over >= (4 s + 50 dpf)/dpf frames
+        (ray_trace.cpp:86,741-748).  Returns (dpf_seconds, frames)."""
+        spp = self.config.samples
+        for _ in range(warmup):
+            jax.block_until_ready(self.render_call(spp))
+        # first probe frame
+        t0 = time.perf_counter()
+        jax.block_until_ready(self.render_call(spp))
+        dpf = time.perf_counter() - t0
+        frames = max(1, int((min_seconds + 50.0 * dpf) / dpf)) if dpf > 0 else 1
+        frames = min(frames, 1000)
+        t0 = time.perf_counter()
+        for _ in range(frames):
+            jax.block_until_ready(self.render_call(spp))
+        dpf = (time.perf_counter() - t0) / frames
+        print(f"duration_per_frame: {dpf * 1000.0:.3f} ms")
+        return dpf, frames

@@ -1,0 +1,86 @@
+"""CLI — mirror of the reference argument surface (main.cpp:10-64).
+
+Same six flags with the same defaults (--help/--store/--samples/--width/
+--height/--gpus), the same "unknown argument" stderr behavior, plus TPU-only
+extras that have no Vulkan analogue (--out/--backend/--depth/--time/
+--samples-per-call).  Unlike the reference, --store actually writes a PNG
+(quirk Q2 delivered).
+"""
+
+from __future__ import annotations
+
+import sys
+
+HELP = """\
+--help                            # Show this help infomation
+--store                           # Store rendered image to file
+--samples <count>                 # Total samples to render
+--width <width>                   # Image width
+--height <height>                 # Image height
+--gpus <count>                    # Max used TPU chips count
+--out <path>                      # Output PNG path (default render.png)
+--backend <auto|matmul|bruteforce|pallas>  # Intersection backend
+--depth <count>                   # Max bounce depth (default 50)
+--time <seconds>                  # Scene animation time (default 0)
+--samples-per-call <count>        # Progressive accumulation chunk
+"""
+
+
+def parse_args(argv):
+    """Hand-rolled argv loop like main.cpp:19-51. Returns kwargs for
+    api.ray_trace, or None if --help was printed."""
+    kw = dict(samples=10, store_render_result=False, width=1920, height=1080,
+              gpu_count=1)
+    extras = {}
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+
+        def _take():
+            nonlocal i
+            i += 1
+            return argv[i]
+
+        if a == "--help":
+            print(HELP, end="")
+            return None
+        elif a == "--store":
+            kw["store_render_result"] = True
+        elif a == "--samples":
+            kw["samples"] = int(_take())
+        elif a == "--width":
+            kw["width"] = int(_take())
+        elif a == "--height":
+            kw["height"] = int(_take())
+        elif a == "--gpus":
+            kw["gpu_count"] = int(_take())
+        elif a == "--out":
+            extras["out_path"] = _take()
+        elif a == "--backend":
+            extras["backend"] = _take()
+        elif a == "--depth":
+            extras["max_depth"] = int(_take())
+        elif a == "--time":
+            extras["scene_time"] = float(_take())
+        elif a == "--samples-per-call":
+            extras["samples_per_call"] = int(_take())
+        else:
+            print(f"unknown argument: {a}", file=sys.stderr)
+        i += 1
+    kw.update(extras)
+    return kw
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    kw = parse_args(argv)
+    if kw is None:
+        return 0
+    from ..api import ray_trace
+
+    try:
+        ray_trace(**kw)
+    except Exception as e:  # main.cpp:61-63: catch, print, exit cleanly
+        print(e, file=sys.stderr)
+        return 1
+    return 0

@@ -1,0 +1,27 @@
+"""Test harness config: force a deterministic 8-device CPU JAX platform.
+
+The container's sitecustomize imports jax and registers a TPU plugin at
+interpreter startup, so env vars are too late — use jax.config instead (valid
+until the first backend initialization, which tests have not done yet).  The
+virtual 8-device CPU mesh is how multi-chip sharding is validated without
+TPU hardware (the driver separately dry-runs ``__graft_entry__.dryrun_multichip``).
+"""
+
+import os
+import pathlib
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+# Persistent compile cache: the wavefront while-loop takes ~10-70 s to compile
+# on CPU; cache makes repeat test runs fast.
+_cache = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+_cache.mkdir(exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,34 @@
+"""Public API surface tests — the ray_trace C-ABI mirror (api.py)."""
+
+import os
+
+import numpy as np
+
+import raytrace_tpu
+
+
+def test_ray_trace_smoke(tmp_path, capsys):
+    out = os.path.join(tmp_path, "r.png")
+    img = raytrace_tpu.ray_trace(
+        samples=2, store_render_result=True, width=48, height=27,
+        gpu_count=1, out_path=out, backend="matmul", max_depth=6)
+    assert img.shape == (27, 48, 3) and img.dtype == np.uint8
+    assert img.max() > 0
+    assert os.path.exists(out)
+    assert "duration_per_frame" in capsys.readouterr().out
+
+
+def test_defaults_mirror_reference_abi():
+    import inspect
+
+    sig = inspect.signature(raytrace_tpu.ray_trace)
+    params = list(sig.parameters.values())
+    # ray_trace.h:9-15 — same order, same defaults
+    assert [p.name for p in params[:5]] == [
+        "samples", "store_render_result", "width", "height", "gpu_count"]
+    assert [p.default for p in params[:5]] == [10, False, 1920, 1080, 1]
+
+
+def test_render_config_defaults():
+    cfg = raytrace_tpu.RenderConfig()
+    assert (cfg.width, cfg.height, cfg.samples) == (1920, 1080, 10)
