@@ -1,0 +1,79 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: seconds to render the final book scene (488 spheres) at
+1920x1080 with 10,000 samples/pixel — the reference's README benchmark
+(12.5 s on a Radeon RX 6800 XT, /root/reference/README.md:62).
+
+If a full 10k-spp run fits the time budget it is run outright; otherwise the
+steady-state sample rate from a timed chunk is extrapolated (flagged in the
+JSON as ``measured="extrapolated"``).
+
+Env knobs: BENCH_WIDTH/BENCH_HEIGHT/BENCH_SPP/BENCH_BACKEND/BENCH_BUDGET_S.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BASELINE_S = 12.5  # reference 10k spp @1080p
+
+
+def main() -> int:
+    width = int(os.environ.get("BENCH_WIDTH", 1920))
+    height = int(os.environ.get("BENCH_HEIGHT", 1080))
+    target_spp = int(os.environ.get("BENCH_SPP", 10000))
+    backend = os.environ.get("BENCH_BACKEND", "auto")
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 600))
+
+    import jax
+
+    from raytrace_tpu.config import RenderConfig
+    from raytrace_tpu.runtime.renderer import Renderer
+
+    cfg = RenderConfig(samples=target_spp, width=width, height=height, backend=backend)
+    r = Renderer(cfg)
+
+    # warmup: compile + first run
+    jax.block_until_ready(r.render_call(4))
+
+    # timed probe to estimate throughput
+    probe_spp = 32
+    t0 = time.perf_counter()
+    jax.block_until_ready(r.render_call(probe_spp))
+    probe_t = time.perf_counter() - t0
+    sps = width * height * probe_spp / probe_t
+    projected = width * height * target_spp / sps
+
+    if projected <= budget_s:
+        t0 = time.perf_counter()
+        jax.block_until_ready(r.render_call(target_spp))
+        value = time.perf_counter() - t0
+        measured = "full"
+    else:
+        value = projected
+        measured = "extrapolated"
+
+    print(
+        json.dumps(
+            {
+                "metric": f"seconds_{width}x{height}_{target_spp}spp",
+                "value": round(value, 3),
+                "unit": "s",
+                "vs_baseline": round(value / BASELINE_S, 3),
+                "baseline_s": BASELINE_S,
+                "baseline_hw": "RX 6800 XT (reference README.md:62)",
+                "samples_per_sec": round(sps, 0),
+                "measured": measured,
+                "backend": r.backend,
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -55,3 +55,4 @@ class RenderConfig:
     scene_time: float = 0.0  # hero-sphere animation time (scene.h:82-83)
     accum_dtype: str = "float32"  # reference uses dvec3 (Q5); f32 validated in tests
     out_path: str = "render.png"
+    pixels_per_lane: Optional[int] = None  # wavefront M (None = auto); trace.py

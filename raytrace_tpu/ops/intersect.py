@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BIG = jnp.float32(3.0e38)  # sentinel "no hit" t (finite to keep argmin sane)
+BIG = np.float32(3.0e38)  # sentinel "no hit" t (finite to keep argmin sane)
 
 
 def sphere_constants(centers, radii):

@@ -66,6 +66,7 @@ class DeviceScene(NamedTuple):
     color0: jnp.ndarray  # [S,3] f32
     color1: jnp.ndarray  # [S,3] f32
     attr: jnp.ndarray  # [S] f32
+    table: jnp.ndarray  # [S,24] packed table for the Pallas kernel
 
 
 class ViewportArrays(NamedTuple):
@@ -84,6 +85,8 @@ class ViewportArrays(NamedTuple):
 
 def prepare_scene(scene: SceneArrays) -> DeviceScene:
     """Host-side scene prep: SoA -> device layout with matmul precomputes."""
+    from .pallas_intersect import sphere_table
+
     centers = np.asarray(scene.centers, np.float32)
     radii = np.asarray(scene.radii, np.float32)
     n = int(scene.n_spheres)
@@ -100,6 +103,7 @@ def prepare_scene(scene: SceneArrays) -> DeviceScene:
         color0=np.asarray(scene.color0, np.float32),
         color1=np.asarray(scene.color1, np.float32),
         attr=np.asarray(scene.attr, np.float32),
+        table=sphere_table(scene),
     )
 
 
@@ -160,11 +164,36 @@ def _intersect(backend: str, scene: DeviceScene, o, d):
         return intersect_bruteforce(o, d, scene.centers, scene.radii, scene.valid, tmin, tmax)
     if backend == "matmul":
         return intersect_matmul(o, d, scene.centers_t, scene.kc, scene.valid, tmin, tmax)
-    if backend == "pallas":
-        from .pallas_intersect import intersect_pallas
-
-        return intersect_pallas(o, d, scene.centers_t, scene.kc, scene.valid, tmin, tmax)
     raise ValueError(f"unknown intersect backend: {backend!r}")
+
+
+def _shade_inputs(backend: str, scene: DeviceScene, o, d):
+    """Closest hit + the hit sphere's attributes.
+
+    Returns (t [N], hit [N] bool, center [N,3], mat [N] i32, tex [N] i32,
+    c0 [N,3], c1 [N,3], attr [N]).  The Pallas backend gets everything from
+    one fused kernel (attribute fetch is an in-kernel MXU contraction); the
+    XLA backends gather from the SoA tables.
+    """
+    if backend == "pallas":
+        from . import pallas_intersect as pk
+
+        t, hit, a = pk.intersect_shade_pallas(o, d, scene.table)
+        center = a[:, pk.A_CX : pk.A_CZ + 1]
+        mat = a[:, pk.A_MAT].astype(jnp.int32)
+        tex = a[:, pk.A_TEX].astype(jnp.int32)
+        c0 = a[:, pk.A_C0 : pk.A_C0 + 3]
+        c1 = a[:, pk.A_C1 : pk.A_C1 + 3]
+        attr = a[:, pk.A_ATTR]
+        return t, hit, center, mat, tex, c0, c1, attr
+    t, idx, hit = _intersect(backend, scene, o, d)
+    center = jnp.take(scene.centers, idx, axis=0)
+    mat = jnp.take(scene.material, idx, axis=0)
+    tex = jnp.take(scene.texture, idx, axis=0)
+    c0 = jnp.take(scene.color0, idx, axis=0)
+    c1 = jnp.take(scene.color1, idx, axis=0)
+    attr = jnp.take(scene.attr, idx, axis=0)
+    return t, hit, center, mat, tex, c0, c1, attr
 
 
 def render_band_core(
@@ -181,6 +210,7 @@ def render_band_core(
     accum_init=None,  # [band_h, width, 3] f32 carried accumulator, or None
     max_depth: int = MAX_DEPTH,
     backend: str = "matmul",
+    pixels_per_lane: int = 1,
     return_iters: bool = False,
 ):
     """Render one row band; returns the accumulated color sum [band_h, W, 3].
@@ -190,35 +220,55 @@ def render_band_core(
     iterative <=``max_depth`` bounce loop of calculateRayColor
     (shader.rgen:70-89) — restructured as a persistent-wavefront loop (module
     docstring).  Divide by spp and sqrt for the display image (gamma 2).
+
+    ``pixels_per_lane`` (M): each vector lane renders M strided pixels in
+    sequence (pixel of lane k, slot m = m*n_lanes + k).  M=1 pins one pixel
+    per lane; larger M averages per-pixel path-length variance across a
+    lane's pixels, fixing the occupancy collapse where lanes that drew short
+    paths (sky pixels, ~3 segments/sample) idle while glass pixels grind
+    through ~20.  Per-pixel RNG streams and results are IDENTICAL for any M
+    (lane scheduling never reorders a pixel's sequential samples).
     """
-    n = band_h * width
+    p_total = band_h * width
+    m_slots = max(1, min(pixels_per_lane, p_total))
+    n = -(-p_total // m_slots)  # lanes
     lane = jnp.arange(n, dtype=jnp.int32)
-    px = lane % width
-    py_local = lane // width
-    py_seed = (seed_y0 + py_local).astype(jnp.uint32)
-    # uv pixel coords: offset + launch id (shader.rgen:45,57)
-    fx = (offset_x + px).astype(jnp.float32)
-    fy = (y0 + py_local).astype(jnp.float32)
-
-    seed0 = rngops.tea_hash(
-        rngops.tea_hash(px.astype(jnp.uint32), py_seed), jnp.uint32(number)
-    )
-    seed, o, d = _camera_rays(seed0, fx, fy, vp)
-
-    if accum_init is None:
-        acc0 = jnp.zeros((n, 3), jnp.float32)
-    else:
-        acc0 = accum_init.reshape(n, 3)
-
     spp = jnp.int32(spp)
     sky = jnp.asarray(_SKY)
 
+    def pixel_init(pix, number_):
+        """Per-pixel uv coords + fresh TEA seed (shader.rgen:40,45)."""
+        px = pix % width
+        py_local = pix // width
+        fx = (offset_x + px).astype(jnp.float32)
+        fy = (y0 + py_local).astype(jnp.float32)
+        py_seed = (seed_y0 + py_local).astype(jnp.uint32)
+        seed0 = rngops.tea_hash(
+            rngops.tea_hash(px.astype(jnp.uint32), py_seed), jnp.uint32(number_)
+        )
+        return fx, fy, seed0
+
+    fx0, fy0, seed0 = pixel_init(lane, number)  # slot m=0: pixel index = lane
+    seed, o, d = _camera_rays(seed0, fx0, fy0, vp)
+
+    if accum_init is None:
+        acc0 = jnp.zeros((n, m_slots, 3), jnp.float32)
+    else:
+        flat = accum_init.reshape(p_total, 3)
+        pad = n * m_slots - p_total
+        if pad:
+            flat = jnp.concatenate([flat, jnp.zeros((pad, 3), jnp.float32)], axis=0)
+        acc0 = flat.reshape(m_slots, n, 3).transpose(1, 0, 2)
+
     state = dict(
         seed=seed,
-        sidx=jnp.ones((n,), jnp.int32),  # samples issued so far
+        m=jnp.zeros((n,), jnp.int32),  # current pixel slot
+        sidx=jnp.ones((n,), jnp.int32),  # samples issued for current pixel
         depth=jnp.zeros((n,), jnp.int32),
         o=o,
         d=d,
+        fx=fx0,
+        fy=fy0,
         thr=jnp.ones((n, 3), jnp.float32),
         acc=acc0,
         alive=jnp.broadcast_to(spp > 0, (n,)),
@@ -230,16 +280,9 @@ def render_band_core(
 
     def body(st):
         seed, o, d, alive = st["seed"], st["o"], st["d"], st["alive"]
-        t, idx, hit = _intersect(backend, scene, o, d)
+        t, hit, center, mat, tex, c0, c1, attr = _shade_inputs(backend, scene, o, d)
 
         point = o + t[:, None] * d  # shader.rint:33
-        center = jnp.take(scene.centers, idx, axis=0)
-        mat = jnp.take(scene.material, idx, axis=0)
-        tex = jnp.take(scene.texture, idx, axis=0)
-        c0 = jnp.take(scene.color0, idx, axis=0)
-        c1 = jnp.take(scene.color1, idx, axis=0)
-        attr = jnp.take(scene.attr, idx, axis=0)
-
         # shader.rchit:41-43
         outward = _normalize3(point - center)
         ddn = outward[:, 0] * d[:, 0] + outward[:, 1] * d[:, 1] + outward[:, 2] * d[:, 2]
@@ -261,22 +304,43 @@ def render_band_core(
             jnp.where(does_scatter[:, None], jnp.zeros((1, 3), jnp.float32), att),
             sky[None, :],
         )
-        acc = st["acc"] + jnp.where(term[:, None], st["thr"] * light, 0.0)
+        # accumulate into the lane's CURRENT pixel slot (one-hot over M — a
+        # handful of flops; never a scatter)
+        contrib = jnp.where(term[:, None], st["thr"] * light, 0.0)
+        oh = (
+            jax.lax.broadcasted_iota(jnp.int32, (n, m_slots), 1) == st["m"][:, None]
+        ).astype(jnp.float32)
+        acc = st["acc"] + oh[:, :, None] * contrib[:, None, :]
 
         # Seed: hits consumed material draws; misses consumed none.
         seed_a = jnp.where(hit, seed_h, seed)
 
-        regen = term & (st["sidx"] < spp)
-        seed_r, o_r, d_r = _camera_rays(seed_a, fx, fy, vp)
+        # termination bookkeeping: next sample of same pixel, or next pixel
+        more_samples = term & (st["sidx"] < spp)
+        pix_done = term & ~more_samples
+        m2 = st["m"] + pix_done.astype(jnp.int32)
+        pix2 = m2 * n + lane
+        valid2 = (m2 < m_slots) & (pix2 < p_total)
+        adv = pix_done & valid2
+        fx2, fy2, fresh = pixel_init(pix2, number)
+
+        regen = more_samples | adv
+        seed_c = jnp.where(adv, fresh, seed_a)
+        fxn = jnp.where(adv, fx2, st["fx"])
+        fyn = jnp.where(adv, fy2, st["fy"])
+        seed_r, o_r, d_r = _camera_rays(seed_c, fxn, fyn, vp)
 
         new = dict(
             seed=jnp.where(alive, jnp.where(regen, seed_r, seed_a), seed),
-            sidx=st["sidx"] + regen.astype(jnp.int32),
+            m=m2,
+            sidx=jnp.where(adv, 1, st["sidx"] + more_samples.astype(jnp.int32)),
             depth=jnp.where(cont, st["depth"] + 1, jnp.where(regen, 0, st["depth"])),
             o=jnp.where(cont[:, None], point, jnp.where(regen[:, None], o_r, o)),
             d=jnp.where(
                 cont[:, None], _normalize3(sd), jnp.where(regen[:, None], d_r, d)
             ),
+            fx=fxn,
+            fy=fyn,
             thr=jnp.where(
                 cont[:, None], st["thr"] * att, jnp.where(regen[:, None], 1.0, st["thr"])
             ),
@@ -287,7 +351,8 @@ def render_band_core(
         return new
 
     out = jax.lax.while_loop(cond, body, state)
-    acc = out["acc"].reshape(band_h, width, 3)
+    acc = out["acc"].transpose(1, 0, 2).reshape(n * m_slots, 3)[:p_total]
+    acc = acc.reshape(band_h, width, 3)
     if return_iters:
         return acc, out["iters"]
     return acc
@@ -295,6 +360,8 @@ def render_band_core(
 
 render_band = jax.jit(
     render_band_core,
-    static_argnames=("band_h", "width", "max_depth", "backend", "return_iters"),
+    static_argnames=(
+        "band_h", "width", "max_depth", "backend", "pixels_per_lane", "return_iters",
+    ),
 )
 

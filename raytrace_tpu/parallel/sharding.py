@@ -68,6 +68,10 @@ class MultiChipRenderer:
         else:
             self.padded_h = h
         self.band_h = self.padded_h // self.n
+        if config.pixels_per_lane is not None:
+            self.pixels_per_lane = config.pixels_per_lane
+        else:
+            self.pixels_per_lane = 8 if w * self.band_h >= (1 << 19) else 1
         self.vp = viewport_arrays(reference_camera(), w, h)
 
     def render_call(self, spp: int, number: int = 0, accum=None):
@@ -103,6 +107,7 @@ class MultiChipRenderer:
                 accum_init=accum_band,
                 max_depth=max_depth,
                 backend=backend,
+                pixels_per_lane=self.pixels_per_lane,
             )
 
         if accum is None:

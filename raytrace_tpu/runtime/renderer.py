@@ -29,9 +29,9 @@ from ..models.scene import SceneArrays, generate_random_scene
 from ..ops import image as imageops
 from ..ops.trace import DeviceScene, prepare_scene, render_band, viewport_arrays
 
-# [N, S] intersection intermediates drive the band size for the XLA backends;
+# [N, S] intersection intermediates drive the lane count for the XLA backends;
 # the Pallas backend never materializes them and can take far larger bands.
-_TARGET_SLOTS = {"bruteforce": 1 << 14, "matmul": 1 << 18, "pallas": 1 << 20}
+_TARGET_LANES = {"bruteforce": 1 << 14, "matmul": 1 << 18, "pallas": 1 << 19}
 
 
 def reference_camera() -> Camera:
@@ -44,9 +44,9 @@ def pick_backend(requested: str = "auto") -> str:
     """auto -> pallas on TPU, matmul elsewhere (CPU tests, debugging)."""
     if requested != "auto":
         return requested
-    # matmul everywhere for now; flips to the Pallas kernel on TPU once
-    # ops/pallas_intersect.py lands (perf push).
-    return "matmul"
+    # Pallas kernel on TPU (fused intersect+attribute fetch, VMEM-resident
+    # sphere table); plain XLA elsewhere (pallas interpret mode is slow).
+    return "pallas" if jax.default_backend() == "tpu" else "matmul"
 
 
 class Renderer:
@@ -58,8 +58,16 @@ class Renderer:
         self.scene = scene if scene is not None else generate_random_scene(config.scene_time)
         self.device_scene: DeviceScene = prepare_scene(self.scene)
         w, h = config.width, config.height
-        target = _TARGET_SLOTS.get(self.backend, 1 << 18)
-        self.chunk_rows = max(1, min(h, target // max(w, 1)))
+        # wavefront M: average path-length variance across M strided pixels
+        # per lane (see trace.py); 1 for small images so tests stay tiny
+        if config.pixels_per_lane is not None:
+            self.pixels_per_lane = config.pixels_per_lane
+        else:
+            self.pixels_per_lane = 8 if w * h >= (1 << 19) else 1
+        target = _TARGET_LANES.get(self.backend, 1 << 18)
+        self.chunk_rows = max(
+            1, min(h, (target * self.pixels_per_lane) // max(w, 1))
+        )
         self.vp = viewport_arrays(reference_camera(), w, h)
 
     def set_scene(self, scene: SceneArrays) -> None:
@@ -92,6 +100,7 @@ class Renderer:
                     accum_init=init,
                     max_depth=cfg.max_depth,
                     backend=self.backend,
+                    pixels_per_lane=self.pixels_per_lane,
                 )
             )
         import jax.numpy as jnp

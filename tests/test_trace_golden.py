@@ -30,14 +30,15 @@ def oracle_img(scene):
     return render_oracle(scene, info, max_depth=DEPTH)
 
 
-def _render(scene, backend, spp=SPP, number=0, y0=0, band_h=H, seed_y0=None, accum=None):
+def _render(scene, backend, spp=SPP, number=0, y0=0, band_h=H, seed_y0=None,
+            accum=None, m=1):
     ds = prepare_scene(scene)
     vp = viewport_arrays(reference_camera(), W, H)
     out = render_band(
         ds, vp, band_h=band_h, width=W,
         y0=np.int32(y0), seed_y0=np.int32(y0 if seed_y0 is None else seed_y0),
         offset_x=np.int32(0), spp=np.int32(spp), number=np.uint32(number),
-        accum_init=accum, max_depth=DEPTH, backend=backend)
+        accum_init=accum, max_depth=DEPTH, backend=backend, pixels_per_lane=m)
     return np.asarray(out)
 
 
@@ -83,6 +84,25 @@ def test_progressive_number_decorrelates(scene):
     b = _render(scene, "bruteforce", number=1)
     assert not np.array_equal(a, b)
     assert abs(a.mean() - b.mean()) / a.mean() < 0.05
+
+
+def test_pixels_per_lane_invariant(scene):
+    """Lane scheduling must not change per-pixel RNG streams: M=4 and M=7
+    (non-divisor of the pixel count) are bit-identical to M=1."""
+    base = _render(scene, "bruteforce", m=1)
+    for m in (4, 7):
+        out = _render(scene, "bruteforce", m=m)
+        assert np.array_equal(out, base), f"pixels_per_lane={m} changed output"
+
+
+def test_pallas_backend_matches(scene):
+    """Pallas kernel (interpret mode on CPU): fused intersect+attrs must
+    agree with the bruteforce render statistically and mostly exactly."""
+    bf = _render(scene, "bruteforce")
+    pk = _render(scene, "pallas", m=4)
+    close = np.abs(bf - pk).max(axis=2) < 0.05
+    assert close.mean() > 0.85, f"only {close.mean():.2%} pixels match"
+    assert abs(bf.mean() - pk.mean()) / bf.mean() < 0.05
 
 
 def test_spp_zero_is_black(scene):
