@@ -23,6 +23,7 @@ HELP = """\
 --depth <count>                   # Max bounce depth (default 50)
 --time <seconds>                  # Scene animation time (default 0)
 --samples-per-call <count>        # Progressive accumulation chunk
+--frames <count>                  # Animated frame loop (0 = adaptive window)
 """
 
 
@@ -64,6 +65,8 @@ def parse_args(argv):
             extras["scene_time"] = float(_take())
         elif a == "--samples-per-call":
             extras["samples_per_call"] = int(_take())
+        elif a == "--frames":
+            extras["_frames"] = int(_take())
         else:
             print(f"unknown argument: {a}", file=sys.stderr)
         i += 1
@@ -76,10 +79,28 @@ def main(argv=None):
     kw = parse_args(argv)
     if kw is None:
         return 0
-    from ..api import ray_trace
-
+    frames = kw.pop("_frames", None)
     try:
-        ray_trace(**kw)
+        if frames is not None:
+            # animated frame loop (reference frame-loop mode, quirk Q8)
+            from ..config import RenderConfig
+            from ..runtime.frames import FrameLoop
+
+            cfg = RenderConfig(
+                samples=kw["samples"], width=kw["width"], height=kw["height"],
+                chips=kw["gpu_count"],
+                max_depth=kw.get("max_depth", 50),
+                backend=kw.get("backend", "auto"),
+            )
+            pattern = None
+            if kw["store_render_result"]:
+                out = kw.get("out_path", "render.png")
+                pattern = out.replace(".png", "_{0}.png") if "{0}" not in out else out
+            FrameLoop(cfg).run(frames=frames, store_pattern=pattern)
+        else:
+            from ..api import ray_trace
+
+            ray_trace(**kw)
     except Exception as e:  # main.cpp:61-63: catch, print, exit cleanly
         print(e, file=sys.stderr)
         return 1
