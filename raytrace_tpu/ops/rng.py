@@ -54,10 +54,19 @@ def lcg_next(seed):
 
 
 def random_float(seed):
-    """randomFloat (random.glsl:20-22). Returns (new_seed, f32 in [0,1))."""
+    """randomFloat (random.glsl:20-22). Returns (new_seed, f32 in [0,1)).
+
+    The u32->f32 cast goes through i32 (exact: the mask keeps 24 bits) —
+    Mosaic has no direct uint32->float32 conversion."""
     seed = lcg_next(seed)
     masked = seed & _U(0x00FFFFFF)
-    return seed, masked.astype(np.float32) / np.float32(0x01000000)
+    if isinstance(masked, (np.ndarray, np.generic)):
+        f = masked.astype(np.int32).astype(np.float32)
+    else:
+        import jax.numpy as jnp
+
+        f = masked.astype(jnp.int32).astype(jnp.float32)
+    return seed, f / np.float32(0x01000000)
 
 
 def random_in_interval(seed, lo, hi):
@@ -114,4 +123,11 @@ def pcg4d(a, b, c, d):
 
 def u32_to_unit_float(bits):
     """uint32 -> f32 in [0,1) using the reference's 24-bit mantissa recipe."""
-    return (bits & _U(0x00FFFFFF)).astype(np.float32) / np.float32(0x01000000)
+    masked = bits & _U(0x00FFFFFF)
+    if isinstance(masked, (np.ndarray, np.generic)):
+        f = masked.astype(np.int32).astype(np.float32)
+    else:
+        import jax.numpy as jnp
+
+        f = masked.astype(jnp.int32).astype(jnp.float32)
+    return f / np.float32(0x01000000)

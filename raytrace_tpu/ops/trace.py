@@ -229,6 +229,13 @@ def render_band_core(
     through ~20.  Per-pixel RNG streams and results are IDENTICAL for any M
     (lane scheduling never reorders a pixel's sequential samples).
     """
+    if backend == "mega":
+        return _render_band_mega(
+            scene, vp, band_h=band_h, width=width, y0=y0, seed_y0=seed_y0,
+            offset_x=offset_x, spp=spp, number=number, accum_init=accum_init,
+            max_depth=max_depth, pixels_per_lane=pixels_per_lane,
+            return_iters=return_iters)
+
     p_total = band_h * width
     m_slots = max(1, min(pixels_per_lane, p_total))
     n = -(-p_total // m_slots)  # lanes
@@ -355,6 +362,98 @@ def render_band_core(
     acc = acc.reshape(band_h, width, 3)
     if return_iters:
         return acc, out["iters"]
+    return acc
+
+
+def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
+                      number, accum_init, max_depth, pixels_per_lane,
+                      return_iters):
+    """Megakernel driver: whole loop body in one Pallas call per iteration
+    (ops/megakernel.py); state in row-major [rows, lanes] arrays so the host
+    loop does zero layout conversion.  Semantics identical to the generic
+    path (same RNG streams, same scheduling)."""
+    from . import megakernel as mk
+
+    p_total = band_h * width
+    m_slots = max(1, min(pixels_per_lane, p_total))
+    n = -(-p_total // m_slots)  # logical lanes
+    n_pad = -(-n // mk.TILE) * mk.TILE
+    rf = mk.f_rows(m_slots)
+
+    lane = jnp.arange(n_pad, dtype=jnp.int32)
+    px = lane % width
+    py_local = lane // width
+    fx0 = (offset_x + px).astype(jnp.float32)
+    fy0 = (y0 + py_local).astype(jnp.float32)
+    seed0 = rngops.tea_hash(
+        rngops.tea_hash(px.astype(jnp.uint32), (seed_y0 + py_local).astype(jnp.uint32)),
+        jnp.uint32(number),
+    )
+    seed, o, d = _camera_rays(seed0, fx0, fy0, vp)
+
+    fstate = jnp.zeros((rf, n_pad), jnp.float32)
+    fstate = fstate.at[mk.R_O : mk.R_O + 3].set(o.T)
+    fstate = fstate.at[mk.R_D : mk.R_D + 3].set(d.T)
+    fstate = fstate.at[mk.R_FX].set(fx0)
+    fstate = fstate.at[mk.R_FY].set(fy0)
+    fstate = fstate.at[mk.R_THR : mk.R_THR + 3].set(1.0)
+    if accum_init is not None:
+        flat = accum_init.reshape(p_total, 3)
+        pad = n * m_slots - p_total
+        if pad:
+            flat = jnp.concatenate([flat, jnp.zeros((pad, 3), jnp.float32)], axis=0)
+        acc_rows = flat.reshape(m_slots, n, 3).transpose(0, 2, 1).reshape(3 * m_slots, n)
+        fstate = fstate.at[mk.R_ACC : mk.R_ACC + 3 * m_slots, :n].set(acc_rows)
+
+    spp = jnp.int32(spp)
+    alive0 = ((lane < n) & (spp > 0)).astype(jnp.uint32)
+    ustate = jnp.zeros((mk.U_ROWS, n_pad), jnp.uint32)
+    ustate = ustate.at[mk.U_SEED].set(seed)
+    ustate = ustate.at[mk.U_SIDX].set(1)
+    ustate = ustate.at[mk.U_ALIVE].set(alive0)
+
+    scal = jnp.zeros((1, 8), jnp.int32)
+    scal = scal.at[0, mk.S_SPP].set(spp)
+    scal = scal.at[0, mk.S_NUMBER].set(jnp.uint32(number).astype(jnp.int32))
+    scal = scal.at[0, mk.S_Y0].set(jnp.int32(y0))
+    scal = scal.at[0, mk.S_SEEDY0].set(jnp.int32(seed_y0))
+    scal = scal.at[0, mk.S_OFFX].set(jnp.int32(offset_x))
+    vpr = jnp.concatenate(
+        [
+            vp.horizontal, vp.vertical, vp.upper_left, vp.cam_up, vp.cam_right,
+            vp.look_from, vp.aperture[None] if vp.aperture.ndim == 0 else vp.aperture,
+            vp.size, jnp.zeros((3,), jnp.float32),
+        ]
+    ).reshape(1, 24)
+    atab = scene.table[:, 8:24].T
+
+    interpret = jax.default_backend() != "tpu"
+
+    def cond(st):
+        return jnp.any(st[1][mk.U_ALIVE] != 0)
+
+    def body(st):
+        f, u, it = st
+        f2, u2 = mk.megakernel_step(
+            scal, vpr, scene.table, atab, f, u,
+            m_slots=m_slots, n_lanes=n, p_total=p_total, width=width,
+            max_depth=max_depth, interpret=interpret,
+        )
+        return (f2, u2, it + 1)
+
+    fstate, ustate, iters = jax.lax.while_loop(
+        cond, body, (fstate, ustate, jnp.int32(0))
+    )
+
+    acc = (
+        fstate[mk.R_ACC : mk.R_ACC + 3 * m_slots, :n]
+        .reshape(m_slots, 3, n)
+        .transpose(0, 2, 1)
+        .reshape(m_slots * n, 3)[:p_total]
+        .reshape(band_h, width, 3)
+    )
+    if return_iters:
+        return acc, iters
     return acc
 
 

@@ -31,7 +31,9 @@ from ..ops.trace import DeviceScene, prepare_scene, render_band, viewport_arrays
 
 # [N, S] intersection intermediates drive the lane count for the XLA backends;
 # the Pallas backend never materializes them and can take far larger bands.
-_TARGET_LANES = {"bruteforce": 1 << 14, "matmul": 1 << 18, "pallas": 1 << 19}
+_TARGET_LANES = {
+    "bruteforce": 1 << 14, "matmul": 1 << 18, "pallas": 1 << 19, "mega": 1 << 21,
+}
 
 
 def reference_camera() -> Camera:
@@ -44,9 +46,9 @@ def pick_backend(requested: str = "auto") -> str:
     """auto -> pallas on TPU, matmul elsewhere (CPU tests, debugging)."""
     if requested != "auto":
         return requested
-    # Pallas kernel on TPU (fused intersect+attribute fetch, VMEM-resident
-    # sphere table); plain XLA elsewhere (pallas interpret mode is slow).
-    return "pallas" if jax.default_backend() == "tpu" else "matmul"
+    # Megakernel on TPU (whole wavefront iteration in one Pallas call);
+    # plain XLA elsewhere (pallas interpret mode is slow).
+    return "mega" if jax.default_backend() == "tpu" else "matmul"
 
 
 class Renderer:

@@ -95,6 +95,16 @@ def test_pixels_per_lane_invariant(scene):
         assert np.array_equal(out, base), f"pixels_per_lane={m} changed output"
 
 
+def test_mega_backend_bit_identical(scene):
+    """The megakernel (interpret mode on CPU) reproduces the bruteforce
+    backend bit-for-bit, including M-invariance."""
+    bf = _render(scene, "bruteforce")
+    mg = _render(scene, "mega", m=1)
+    assert np.array_equal(bf, mg)
+    mg4 = _render(scene, "mega", m=4)
+    assert np.array_equal(mg, mg4)
+
+
 def test_pallas_backend_matches(scene):
     """Pallas kernel (interpret mode on CPU): fused intersect+attrs must
     agree with the bruteforce render statistically and mostly exactly."""
