@@ -39,8 +39,9 @@ def main() -> int:
     # warmup: compile + first run
     jax.block_until_ready(r.render_call(4))
 
-    # timed probe to estimate throughput
-    probe_spp = 32
+    # timed probe to estimate throughput; large enough that the wavefront
+    # tail (which amortizes with spp) doesn't skew the extrapolation
+    probe_spp = int(os.environ.get("BENCH_PROBE_SPP", 256))
     t0 = time.perf_counter()
     jax.block_until_ready(r.render_call(probe_spp))
     probe_t = time.perf_counter() - t0

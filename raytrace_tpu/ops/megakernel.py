@@ -120,22 +120,26 @@ def _kernel(scal_ref, vpr_ref, table_ref, atab_ref, fin_ref, uin_ref,
     od = ox * dx + oy * dy + oz * dz
     oo = ox * ox + oy * oy + oz * oz
     inv_a = 1.0 / a
+    kc = table_ref[:, 3:4]
+    vld = table_ref[:, 4:5]
+    # broadcast contractions beat MXU dots here: HIGHEST-precision K=3
+    # matmuls (needed for f32 exactness — see intersect.py) cost more than
+    # the 10 VPU madds they replace (measured 1.45 -> 2.37 ms/iter)
     cx = table_ref[:, 0:1]
     cy = table_ref[:, 1:2]
     cz = table_ref[:, 2:3]
-    kc = table_ref[:, 3:4]
-    vld = table_ref[:, 4:5]
     cd = cx * dx + cy * dy + cz * dz  # [S,T]
     co = cx * ox + cy * oy + cz * oz
     b = od - cd
     c = oo - 2.0 * co + kc
     disc = b * b - a * c
-    ok = disc >= 0.0
-    sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+    # sqrt(negative) = NaN; every downstream comparison with NaN is false, so
+    # misses fall through to BIG exactly like the GLSL's D >= 0 branch
+    sq = jnp.sqrt(disc)
     t1 = (-b - sq) * inv_a
     t2 = (-b + sq) * inv_a
-    t1_ok = ok & (t1 >= tmin) & (t1 <= tmax)
-    t2_ok = ok & (t2 >= tmin) & (t2 <= tmax)
+    t1_ok = (t1 >= tmin) & (t1 <= tmax)
+    t2_ok = (t2 >= tmin) & (t2 <= tmax)
     tall = jnp.where(t1_ok, t1, jnp.where(t2_ok, t2, BIG))
     tall = jnp.where(vld > 0.0, tall, BIG)
     t = jnp.min(tall, axis=0, keepdims=True)  # [1,T]

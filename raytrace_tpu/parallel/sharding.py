@@ -71,63 +71,61 @@ class MultiChipRenderer:
         if config.pixels_per_lane is not None:
             self.pixels_per_lane = config.pixels_per_lane
         else:
-            self.pixels_per_lane = 8 if w * self.band_h >= (1 << 19) else 1
+            self.pixels_per_lane = int(np.clip((w * self.band_h) >> 17, 1, 32))
         self.vp = viewport_arrays(reference_camera(), w, h)
 
-    def render_call(self, spp: int, number: int = 0, accum=None):
-        """One sharded render call; returns accum sum [H, W, 3] (unpadded)."""
+        self._compiled = {}  # has_accum -> jitted shard_map fn
+
+    def _fn(self, has_accum: bool):
+        """Build (once) the jitted sharded render step; spp/number dynamic."""
+        if has_accum in self._compiled:
+            return self._compiled[has_accum]
         cfg = self.config
-        w = cfg.width
-        band_h, n = self.band_h, self.n
+        w, band_h = cfg.width, self.band_h
         ref_banding = self.reference_banding
-        backend = self.backend
-        max_depth = cfg.max_depth
+        backend, max_depth = self.backend, cfg.max_depth
+        ppl = self.pixels_per_lane
 
-        if accum is not None:
-            pad = self.padded_h - cfg.height
-            if pad:
-                accum = jnp.concatenate(
-                    [accum, jnp.zeros((pad, w, 3), jnp.float32)], axis=0
-                )
-
-        def band_fn(scene, vp, accum_band):
+        def band_fn(scene, vp, spp, number, accum_band):
             i = jax.lax.axis_index("band")
             y0 = (i * band_h).astype(jnp.int32)
             seed_y0 = jnp.int32(0) if ref_banding else y0
             return render_band_core(
-                scene,
-                vp,
-                band_h=band_h,
-                width=w,
-                y0=y0,
-                seed_y0=seed_y0,
-                offset_x=jnp.int32(0),
-                spp=jnp.int32(spp),
-                number=jnp.uint32(number),
-                accum_init=accum_band,
-                max_depth=max_depth,
-                backend=backend,
-                pixels_per_lane=self.pixels_per_lane,
+                scene, vp, band_h=band_h, width=w, y0=y0, seed_y0=seed_y0,
+                offset_x=jnp.int32(0), spp=spp, number=number,
+                accum_init=accum_band, max_depth=max_depth, backend=backend,
+                pixels_per_lane=ppl,
             )
 
-        if accum is None:
+        if has_accum:
             fn = jax.shard_map(
-                lambda s, v: band_fn(s, v, None),
-                mesh=self.mesh,
-                in_specs=(P(), P()),
-                out_specs=P("band"),
-                check_vma=False,
-            )
-            out = jax.jit(fn)(self.device_scene, self.vp)
+                band_fn, mesh=self.mesh,
+                in_specs=(P(), P(), P(), P(), P("band")),
+                out_specs=P("band"), check_vma=False)
         else:
             fn = jax.shard_map(
-                band_fn,
-                mesh=self.mesh,
-                in_specs=(P(), P(), P("band")),
-                out_specs=P("band"),
-                check_vma=False,
+                lambda s, v, spp, num: band_fn(s, v, spp, num, None),
+                mesh=self.mesh, in_specs=(P(), P(), P(), P()),
+                out_specs=P("band"), check_vma=False)
+        self._compiled[has_accum] = jax.jit(fn)
+        return self._compiled[has_accum]
+
+    def render_call(self, spp: int, number: int = 0, accum=None):
+        """One sharded render call; returns accum sum [H, W, 3] (unpadded)."""
+        cfg = self.config
+        if accum is not None:
+            pad = self.padded_h - cfg.height
+            if pad:
+                accum = jnp.concatenate(
+                    [accum, jnp.zeros((pad, cfg.width, 3), jnp.float32)], axis=0
+                )
+            out = self._fn(True)(
+                self.device_scene, self.vp, jnp.int32(spp), jnp.uint32(number), accum
             )
-            out = jax.jit(fn)(self.device_scene, self.vp, accum)
+        else:
+            out = self._fn(False)(
+                self.device_scene, self.vp, jnp.int32(spp), jnp.uint32(number)
+            )
         return out[: cfg.height]
 
     def render(self, samples: Optional[int] = None):

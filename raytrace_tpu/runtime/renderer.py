@@ -65,7 +65,8 @@ class Renderer:
         if config.pixels_per_lane is not None:
             self.pixels_per_lane = config.pixels_per_lane
         else:
-            self.pixels_per_lane = 8 if w * h >= (1 << 19) else 1
+            # target ~128K lanes: measured best occupancy/per-iter tradeoff
+            self.pixels_per_lane = int(np.clip((w * h) >> 17, 1, 32))
         target = _TARGET_LANES.get(self.backend, 1 << 18)
         self.chunk_rows = max(
             1, min(h, (target * self.pixels_per_lane) // max(w, 1))
@@ -130,6 +131,44 @@ class Renderer:
         """Render and tonemap to the display image (u8 RGB, host array)."""
         accum, total = self.render(samples)
         return np.asarray(imageops.accum_to_u8(accum, total))
+
+    def save_state(self, path: str, accum, samples_done: int, number: int) -> None:
+        """Checkpoint a progressive render (accumulator + progress).
+
+        The reference has no checkpointing (its accumulator is cleared every
+        frame, quirk Q3); this completes the progressive design it implies.
+        """
+        np.savez(
+            path, accum=np.asarray(accum), samples_done=samples_done,
+            number=number, width=self.config.width, height=self.config.height,
+        )
+
+    def load_state(self, path: str):
+        """Returns (accum, samples_done, number) for resuming ``render``."""
+        z = np.load(path)
+        if (int(z["width"]), int(z["height"])) != (self.config.width, self.config.height):
+            raise ValueError("checkpoint resolution mismatch")
+        return z["accum"], int(z["samples_done"]), int(z["number"])
+
+    def render_resumable(self, total: int, checkpoint_path: Optional[str] = None,
+                         checkpoint_every: int = 0):
+        """Progressive render with optional checkpoint/resume."""
+        cfg = self.config
+        per_call = cfg.samples_per_call or max(1, checkpoint_every) if checkpoint_every else (cfg.samples_per_call or total)
+        accum, done, number = None, 0, 0
+        if checkpoint_path:
+            import os
+
+            if os.path.exists(checkpoint_path):
+                accum, done, number = self.load_state(checkpoint_path)
+        while done < total:
+            spp = min(per_call, total - done)
+            accum = self.render_call(spp, number=number, accum=accum)
+            done += spp
+            number += 1
+            if checkpoint_path and checkpoint_every and done < total:
+                self.save_state(checkpoint_path, accum, done, number)
+        return accum, done
 
     def benchmark(self, min_seconds: float = 4.0, warmup: int = 1):
         """Frame-loop benchmark with the reference's adaptive measurement

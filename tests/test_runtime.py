@@ -1,0 +1,74 @@
+"""Runtime-layer tests: checkpoint/resume, profiling stats, renderer knobs."""
+
+import numpy as np
+import pytest
+
+from raytrace_tpu.config import RenderConfig
+from raytrace_tpu.models.scene import three_sphere_scene
+from raytrace_tpu.runtime.profiling import FrameStats
+from raytrace_tpu.runtime.renderer import Renderer
+
+W, H = 32, 18
+
+
+def _renderer(**kw):
+    cfg = RenderConfig(width=W, height=H, max_depth=6, backend="matmul", **kw)
+    return Renderer(cfg, scene=three_sphere_scene())
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    r = _renderer()
+    accum = np.asarray(r.render_call(2))
+    p = str(tmp_path / "ckpt.npz")
+    r.save_state(p, accum, samples_done=2, number=1)
+    a2, done, num = r.load_state(p)
+    assert np.array_equal(a2, accum) and done == 2 and num == 1
+
+
+def test_checkpoint_resolution_mismatch(tmp_path):
+    r = _renderer()
+    p = str(tmp_path / "ckpt.npz")
+    r.save_state(p, np.zeros((H, W, 3), np.float32), 1, 1)
+    other = Renderer(
+        RenderConfig(width=16, height=9, max_depth=6, backend="matmul"),
+        scene=three_sphere_scene())
+    with pytest.raises(ValueError):
+        other.load_state(p)
+
+
+def test_resumable_render_matches_uninterrupted(tmp_path):
+    p = str(tmp_path / "ck.npz")
+    r = _renderer(samples_per_call=2)
+    full, _ = r.render_resumable(6)
+    # interrupted run: 2 calls, checkpoint, new renderer resumes
+    r2 = _renderer(samples_per_call=2)
+    acc = None
+    acc = r2.render_call(2, number=0, accum=acc)
+    acc = r2.render_call(2, number=1, accum=acc)
+    r2.save_state(p, acc, 4, 2)
+    r3 = _renderer(samples_per_call=2)
+    resumed, done = r3.render_resumable(6, checkpoint_path=p)
+    assert done == 6
+    assert np.allclose(np.asarray(resumed), np.asarray(full), atol=1e-5)
+
+
+def test_frame_stats_adaptive_window():
+    fs = FrameStats()
+    with fs.frame():
+        pass
+    fs.durations[:] = [0.1]
+    assert fs.adaptive_frame_count(4.0) == int((4.0 + 5.0) / 0.1)
+    rep = fs.report()
+    assert rep["frames"] == 1
+    assert "duration_per_frame" in fs.dump()
+
+
+def test_chunked_render_bitwise_equal():
+    """Internal row chunking must be invisible (global seeds)."""
+    r1 = _renderer()
+    r1.chunk_rows = H  # single chunk
+    a = np.asarray(r1.render_call(2))
+    r2 = _renderer()
+    r2.chunk_rows = 5  # 4 chunks incl. remainder
+    b = np.asarray(r2.render_call(2))
+    assert np.array_equal(a, b)
