@@ -33,7 +33,14 @@ def main() -> int:
     from raytrace_tpu.config import RenderConfig
     from raytrace_tpu.runtime.renderer import Renderer
 
-    cfg = RenderConfig(samples=target_spp, width=width, height=height, backend=backend)
+    # chunked progressive calls: a single multi-hundred-thousand-iteration
+    # device execution can trip TPU runtime watchdogs; ~1000 spp per call is
+    # ~60 s of device time and numerically identical in distribution
+    per_call = int(os.environ.get("BENCH_SPP_PER_CALL", 1000))
+    cfg = RenderConfig(
+        samples=target_spp, width=width, height=height, backend=backend,
+        samples_per_call=min(per_call, target_spp),
+    )
     r = Renderer(cfg)
 
     # warmup: compile + first run
@@ -49,10 +56,16 @@ def main() -> int:
     projected = width * height * target_spp / sps
 
     if projected <= budget_s:
-        t0 = time.perf_counter()
-        jax.block_until_ready(r.render_call(target_spp))
-        value = time.perf_counter() - t0
-        measured = "full"
+        try:
+            t0 = time.perf_counter()
+            accum, _ = r.render(target_spp)
+            jax.block_until_ready(accum)
+            value = time.perf_counter() - t0
+            measured = "full"
+        except Exception as e:  # device fault mid-run: report the probe
+            print(f"full run failed ({e}); reporting extrapolation", file=sys.stderr)
+            value = projected
+            measured = "extrapolated"
     else:
         value = projected
         measured = "extrapolated"

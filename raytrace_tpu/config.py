@@ -56,3 +56,7 @@ class RenderConfig:
     accum_dtype: str = "float32"  # reference uses dvec3 (Q5); f32 validated in tests
     out_path: str = "render.png"
     pixels_per_lane: Optional[int] = None  # wavefront M (None = auto); trace.py
+    # camera override (None = the reference frame loop's fixed camera,
+    # ray_trace.cpp:669-670 / quirk Q4)
+    camera_pos: Optional[Tuple[float, float, float]] = None
+    camera_dir: Optional[Tuple[float, float, float]] = None

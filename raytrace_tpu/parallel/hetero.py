@@ -31,7 +31,7 @@ from ..config import RenderConfig
 from ..models.scene import SceneArrays, generate_random_scene
 from ..ops import image as imageops
 from ..ops.trace import prepare_scene, render_band, viewport_arrays
-from ..runtime.renderer import pick_backend, reference_camera
+from ..runtime.renderer import config_camera, pick_backend
 from ..runtime.tuner import make_tuner
 
 
@@ -59,7 +59,7 @@ class HeteroRenderer:
         self.tuner = make_tuner(h, self.n, tuner_seed)
         ds = prepare_scene(self.scene)
         self.device_scenes = [jax.device_put(ds, d) for d in self.devices]
-        self.vp = viewport_arrays(reference_camera(), config.width, config.height)
+        self.vp = viewport_arrays(config_camera(config), config.width, config.height)
         self.device_vps = [jax.device_put(self.vp, d) for d in self.devices]
         if config.pixels_per_lane is not None:
             self.pixels_per_lane = config.pixels_per_lane

@@ -31,7 +31,7 @@ from ..config import RenderConfig
 from ..models.scene import SceneArrays, generate_random_scene
 from ..ops import image as imageops
 from ..ops.trace import prepare_scene, render_band_core, viewport_arrays
-from ..runtime.renderer import pick_backend, reference_camera
+from ..runtime.renderer import config_camera, pick_backend
 
 
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:
@@ -72,7 +72,7 @@ class MultiChipRenderer:
             self.pixels_per_lane = config.pixels_per_lane
         else:
             self.pixels_per_lane = int(np.clip((w * self.band_h) >> 17, 1, 32))
-        self.vp = viewport_arrays(reference_camera(), w, h)
+        self.vp = viewport_arrays(config_camera(config), w, h)
 
         self._compiled = {}  # has_accum -> jitted shard_map fn
 

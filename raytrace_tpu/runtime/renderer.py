@@ -42,6 +42,17 @@ def reference_camera() -> Camera:
     return Camera(look_from=(13.0, 11.0, -3.0), look_at=(0.0, 0.0, 0.0))
 
 
+def config_camera(config: RenderConfig) -> Camera:
+    """Camera from config overrides (RenderCallInfo.camera_pos/camera_dir
+    semantics: lookAt = pos + dir, shader.rgen:48-49) or the reference's."""
+    if config.camera_pos is None and config.camera_dir is None:
+        return reference_camera()
+    pos = config.camera_pos if config.camera_pos is not None else (13.0, 11.0, -3.0)
+    d = config.camera_dir if config.camera_dir is not None else (-pos[0], -pos[1], -pos[2])
+    return Camera(look_from=tuple(pos),
+                  look_at=(pos[0] + d[0], pos[1] + d[1], pos[2] + d[2]))
+
+
 def pick_backend(requested: str = "auto") -> str:
     """auto -> pallas on TPU, matmul elsewhere (CPU tests, debugging)."""
     if requested != "auto":
@@ -71,7 +82,7 @@ class Renderer:
         self.chunk_rows = max(
             1, min(h, (target * self.pixels_per_lane) // max(w, 1))
         )
-        self.vp = viewport_arrays(reference_camera(), w, h)
+        self.vp = viewport_arrays(config_camera(config), w, h)
 
     def set_scene(self, scene: SceneArrays) -> None:
         self.scene = scene

@@ -72,3 +72,19 @@ def test_chunked_render_bitwise_equal():
     r2.chunk_rows = 5  # 4 chunks incl. remainder
     b = np.asarray(r2.render_call(2))
     assert np.array_equal(a, b)
+
+
+def test_camera_override_changes_view():
+    base = _renderer()
+    cfg = RenderConfig(width=W, height=H, max_depth=6, backend="matmul",
+                       camera_pos=(0.0, 2.0, -20.0), camera_dir=(0.0, -2.0, 20.0))
+    from raytrace_tpu.models.scene import three_sphere_scene
+    moved = Renderer(cfg, scene=three_sphere_scene())
+    a = np.asarray(base.render_call(2))
+    b = np.asarray(moved.render_call(2))
+    assert not np.array_equal(a, b)
+
+
+def test_config_camera_defaults_to_reference():
+    from raytrace_tpu.runtime.renderer import config_camera, reference_camera
+    assert config_camera(RenderConfig()) == reference_camera()
