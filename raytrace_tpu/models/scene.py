@@ -161,6 +161,49 @@ def generate_random_scene(t: float = 0.0) -> SceneArrays:
     )
 
 
+def random_sphere_field(count: int, seed: int = 0, extent: float = 50.0,
+                        t: float = 0.0) -> SceneArrays:
+    """Procedural N-sphere stretch scene (BASELINE.json config 5).
+
+    Ground + 3 hero spheres as in the book scene, plus ``count`` small
+    spheres scattered uniformly over [-extent, extent]^2 with the book's
+    70/15/15 material mix.  The sphere table is padded to a multiple of 128
+    (Pallas lane-tiling requirement for the transposed attribute table).
+    Unlike ``generate_random_scene`` this uses numpy RNG (no reference
+    layout to match at these sizes).
+    """
+    n = count + 4
+    s = max(128, -(-n // 128) * 128)
+    rng = np.random.default_rng(seed)
+    base = generate_random_scene(t)
+    sc = SceneArrays(
+        centers=np.zeros((s, 3), np.float32),
+        radii=np.zeros((s,), np.float32),
+        material=np.zeros((s,), np.int32),
+        texture=np.zeros((s,), np.int32),
+        color0=np.zeros((s, 3), np.float32),
+        color1=np.zeros((s, 3), np.float32),
+        attr=np.zeros((s,), np.float32),
+        n_spheres=np.int32(n),
+    )
+    for arr_dst, arr_src in zip(sc[:7], base[:7]):
+        arr_dst[:4] = arr_src[:4]  # ground + heroes
+    k = count
+    sc.centers[4 : 4 + k, 0] = rng.uniform(-extent, extent, k)
+    sc.centers[4 : 4 + k, 1] = 0.2
+    sc.centers[4 : 4 + k, 2] = rng.uniform(-extent, extent, k)
+    sc.radii[4 : 4 + k] = 0.2
+    p = rng.uniform(0, 1, k)
+    mat = np.where(p < 0.7, DIFFUSE, np.where(p < 0.85, METAL, REFRACTIVE))
+    sc.material[4 : 4 + k] = mat
+    cols = rng.uniform(0.1, 0.9, (k, 3)).astype(np.float32)
+    cols[mat == METAL] = rng.uniform(0.5, 1.0, (int((mat == METAL).sum()), 3))
+    cols[mat == REFRACTIVE] = 1.0
+    sc.color0[4 : 4 + k] = cols
+    sc.attr[4 : 4 + k] = np.where(mat == REFRACTIVE, 1.5, 0.0)
+    return sc
+
+
 def three_sphere_scene() -> SceneArrays:
     """Tiny diffuse/metal/glass + ground test scene (BASELINE.json config 1).
 

@@ -145,7 +145,7 @@ def _kernel(scal_ref, vpr_ref, table_ref, atab_ref, fin_ref, uin_ref,
     t = jnp.min(tall, axis=0, keepdims=True)  # [1,T]
     hit = t < BIG
     ids = jax.lax.broadcasted_iota(jnp.int32, tall.shape, 0)
-    idx = jnp.min(jnp.where(tall == t, ids, _S), axis=0, keepdims=True)
+    idx = jnp.min(jnp.where(tall == t, ids, tall.shape[0]), axis=0, keepdims=True)
     onehot = ((ids == idx) & (tall == t)).astype(jnp.float32)
     # attrs as rows [16, T]: 0-2 center, 3 mat, 4 tex, 5-7 c0, 8-10 c1, 11 fuzz
     at = jax.lax.dot_general(
@@ -317,6 +317,8 @@ def megakernel_step(scal, vpr, table, atab, fstate, ustate, *, m_slots, n_lanes,
     n_pad = fstate.shape[1]
     rf = f_rows(m_slots)
     grid = n_pad // TILE
+    s = table.shape[0]  # sphere-table rows (512 for the book scene; any
+    # multiple of 8 works — the stretch procedural scenes use larger tables)
     kernel = functools.partial(
         _kernel, m_slots=m_slots, n_lanes=n_lanes, p_total=p_total, width=width,
         max_depth=max_depth, tmin=np.float32(0.001), tmax=np.float32(10000.0),
@@ -327,8 +329,8 @@ def megakernel_step(scal, vpr, table, atab, fstate, ustate, *, m_slots, n_lanes,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scal (1, 8) i32
             pl.BlockSpec(memory_space=pltpu.SMEM),  # vpr (1, 24) f32
-            pl.BlockSpec((_S, 24), lambda g: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, _S), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, 24), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, s), lambda g: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rf, TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
             pl.BlockSpec((U_ROWS, TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
         ],

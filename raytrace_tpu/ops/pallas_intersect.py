@@ -85,7 +85,7 @@ def _kernel(rays_ref, table_ref, t_ref, attr_ref, *, tmin, tmax):
     ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
     # lowest index among minima == argmin (hardware closest-hit is arbitrary
     # on exact ties; matching argmin keeps parity with the XLA backends)
-    idx = jnp.min(jnp.where(t == t_min, ids, _S), axis=0, keepdims=True)
+    idx = jnp.min(jnp.where(t == t_min, ids, t.shape[0]), axis=0, keepdims=True)
     onehot = ((ids == idx) & (t == t_min)).astype(jnp.float32)  # [S,T]
     # attribute fetch as an MXU contraction; HIGHEST keeps f32 colors exact
     attrs = jax.lax.dot_general(
@@ -104,6 +104,7 @@ def _intersect_pallas_padded(rays8, table, *, interpret=False):
     """rays8: [8, N_pad] f32 (N_pad % TILE_N == 0); table: [S, 24] f32."""
     n_pad = rays8.shape[1]
     grid = n_pad // TILE_N
+    s = table.shape[0]
     kernel = functools.partial(
         _kernel, tmin=np.float32(0.001), tmax=np.float32(10000.0)
     )
@@ -112,7 +113,7 @@ def _intersect_pallas_padded(rays8, table, *, interpret=False):
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((8, TILE_N), lambda g: (0, g), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_S, 24), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, 24), lambda g: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((TILE_N,), lambda g: (g,), memory_space=pltpu.VMEM),

@@ -99,3 +99,16 @@ def test_three_sphere_scene():
     sc = three_sphere_scene()
     assert int(sc.n_spheres) == 4
     assert sc.material[2] == METAL and sc.material[3] == REFRACTIVE
+
+
+def test_random_sphere_field():
+    from raytrace_tpu.models.scene import random_sphere_field
+
+    sc = random_sphere_field(1000, seed=7)
+    assert int(sc.n_spheres) == 1004
+    assert sc.centers.shape[0] % 128 == 0
+    assert np.allclose(sc.centers[0], [0, -1000, 1])  # ground kept
+    assert np.all(sc.radii[4:1004] == np.float32(0.2))
+    # deterministic
+    sc2 = random_sphere_field(1000, seed=7)
+    assert np.array_equal(sc.centers, sc2.centers)

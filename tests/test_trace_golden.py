@@ -127,3 +127,16 @@ def test_tonemap_roundtrip():
     img = np.asarray(accum_to_u8(accum, 4))
     assert img.shape == (2, 2, 3)
     assert np.all(img == round(np.sqrt(0.25) * 255))
+
+
+def test_large_sphere_table_renders():
+    """Non-512 sphere tables (stretch scenes) go through all backends."""
+    from raytrace_tpu.models.scene import random_sphere_field
+
+    sc = random_sphere_field(300, seed=3, extent=12.0)
+    mm = _render(sc, "matmul", spp=1)
+    mg = _render(sc, "mega", spp=1, m=2)
+    assert mm.shape == mg.shape == (H, W, 3)
+    assert np.array_equal(mm.shape, mg.shape)
+    close = np.abs(mm - mg).max(axis=2) < 0.05
+    assert close.mean() > 0.85
