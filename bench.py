@@ -26,9 +26,10 @@ def main() -> int:
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
     target_spp = int(os.environ.get("BENCH_SPP", 10000))
     backend = os.environ.get("BENCH_BACKEND", "auto")
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", 600))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 1500))
 
     import jax
+    import numpy as np
 
     from raytrace_tpu.config import RenderConfig
     from raytrace_tpu.runtime.renderer import Renderer
@@ -44,13 +45,15 @@ def main() -> int:
     r = Renderer(cfg)
 
     # warmup: compile + first run
-    jax.block_until_ready(r.render_call(4))
+    # np.asarray forces a real host sync (block_until_ready can
+    # return early through TPU relay transports)
+    np.asarray(r.render_call(4))
 
     # timed probe to estimate throughput; large enough that the wavefront
     # tail (which amortizes with spp) doesn't skew the extrapolation
     probe_spp = int(os.environ.get("BENCH_PROBE_SPP", 256))
     t0 = time.perf_counter()
-    jax.block_until_ready(r.render_call(probe_spp))
+    np.asarray(r.render_call(probe_spp))
     probe_t = time.perf_counter() - t0
     sps = width * height * probe_spp / probe_t
     projected = width * height * target_spp / sps
@@ -59,7 +62,7 @@ def main() -> int:
         try:
             t0 = time.perf_counter()
             accum, _ = r.render(target_spp)
-            jax.block_until_ready(accum)
+            np.asarray(accum)
             value = time.perf_counter() - t0
             measured = "full"
         except Exception as e:  # device fault mid-run: report the probe
