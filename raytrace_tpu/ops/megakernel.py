@@ -1,11 +1,12 @@
-"""Pallas megakernel: one wavefront iteration (intersect+shade+regen) per call.
+"""Pallas megakernel: K wavefront iterations (intersect+shade+regen) per call.
 
 Profiling the composed XLA loop showed the Pallas intersect kernel at 3.8 ms
 and the XLA shading/regen glue at 1.6 ms — but 18.9 ms when composed: XLA
 spends the difference relaying out [N,3] arrays around the kernel's outputs.
 This kernel eliminates the boundary entirely: ALL wavefront state lives in
 row-major arrays ([row, lane] — components on the sublane axis, lanes on the
-lane axis), and one kernel invocation performs a full loop iteration:
+lane axis), and one kernel invocation performs ``k_steps`` full loop
+iterations with the tile's state held in VMEM/registers:
 
   intersect (sphere table resident in VMEM, shader.rint semantics)
   -> hit attrs via one-hot MXU contraction (output already row-major)
@@ -14,9 +15,13 @@ lane axis), and one kernel invocation performs a full loop iteration:
   -> sample regeneration / pixel advance with TEA reseed + camera rays
      (shader.rgen semantics)
 
-The host-side `lax.while_loop` body reduces to: call kernel, check the alive
-row.  RNG parity is preserved exactly (same ops/rng.py primitives run
-in-kernel on [1, T] rows).
+``k_steps`` amortizes the per-invocation fixed cost (measured ~0.32 ms:
+launch + state DMA + the host loop's alive-reduction), which at K=1
+accounted for ~30% of a full 10k-spp render.  The host-side
+``lax.while_loop`` body reduces to: call kernel, check the alive row.  RNG
+parity is preserved exactly (same ops/rng.py primitives run in-kernel on
+[1, T] rows); results are bit-identical for any K because lanes that die
+mid-call simply hold state.
 
 State layout (f32 rows; M = pixels_per_lane, static):
   0-2 o | 3-5 d | 6 fx | 7 fy | 8-10 thr | 11 pad | 12+3m+c acc[m].rgb
@@ -37,7 +42,7 @@ from . import rng as rngops
 from .intersect import BIG
 
 TILE = 512  # lanes per grid step
-_S = 512
+K_STEPS = 10  # wavefront iterations per kernel invocation (default)
 
 # f32 state rows
 R_O, R_D, R_FX, R_FY, R_THR, R_ACC = 0, 3, 6, 7, 8, 12
@@ -90,30 +95,21 @@ def _camera_rays_rows(seed, fx, fy, vpr):
     return seed, (ox, oy, oz), (dx, dy, dz)
 
 
-def _kernel(scal_ref, vpr_ref, table_ref, atab_ref, fin_ref, uin_ref,
-            fout_ref, uout_ref, *, m_slots, n_lanes, p_total, width, max_depth,
-            tmin, tmax):
+def _iterate(st, acc, lane, scal_ref, vpr_ref, table_ref, atab_ref, *,
+             m_slots, n_lanes, p_total, width, max_depth, tmin, tmax):
+    """One wavefront iteration on in-register row state.
+
+    st: tuple of [1,T] rows; acc: list of 3*M accumulator rows.
+    Returns (st', acc')."""
+    (ox, oy, oz, dx, dy, dz, fx, fy, tx_, ty_, tz_,
+     seed, mrow, sidx, depth, alive_i) = st
+    alive = alive_i != 0  # carried as i32: Mosaic can't carry i1 vectors
+
     spp_i = scal_ref[0, S_SPP]
     number = scal_ref[0, S_NUMBER].astype(jnp.uint32)
     y0 = scal_ref[0, S_Y0]
     seed_y0 = scal_ref[0, S_SEEDY0]
     offx = scal_ref[0, S_OFFX]
-
-    lane = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
-        + pl.program_id(0) * TILE
-    )
-
-    ox, oy, oz = _vec3(fin_ref, R_O)
-    dx, dy, dz = _vec3(fin_ref, R_D)
-    fx = fin_ref[R_FX : R_FX + 1, :]
-    fy = fin_ref[R_FY : R_FY + 1, :]
-    tx_, ty_, tz_ = _vec3(fin_ref, R_THR)
-    seed = uin_ref[U_SEED : U_SEED + 1, :]
-    mrow = uin_ref[U_M : U_M + 1, :].astype(jnp.int32)
-    sidx = uin_ref[U_SIDX : U_SIDX + 1, :].astype(jnp.int32)
-    depth = uin_ref[U_DEPTH : U_DEPTH + 1, :].astype(jnp.int32)
-    alive = uin_ref[U_ALIVE : U_ALIVE + 1, :] != 0
 
     # ---- intersect: shader.rint:44-60 over all spheres -------------------
     a = dx * dx + dy * dy + dz * dz
@@ -146,7 +142,7 @@ def _kernel(scal_ref, vpr_ref, table_ref, atab_ref, fin_ref, uin_ref,
     hit = t < BIG
     ids = jax.lax.broadcasted_iota(jnp.int32, tall.shape, 0)
     idx = jnp.min(jnp.where(tall == t, ids, tall.shape[0]), axis=0, keepdims=True)
-    onehot = ((ids == idx) & (tall == t)).astype(jnp.float32)
+    onehot = ((ids == idx) & (tall == t)).astype(jnp.float32)  # [S,T]
     # attrs as rows [16, T]: 0-2 center, 3 mat, 4 tex, 5-7 c0, 8-10 c1, 11 fuzz
     at = jax.lax.dot_general(
         atab_ref[:, :], onehot,
@@ -188,12 +184,12 @@ def _kernel(scal_ref, vpr_ref, table_ref, atab_ref, fin_ref, uin_ref,
     sdy_d = ny + uy
     sdz_d = nz + uz
     near0 = (jnp.abs(sdx_d) < 1e-8) & (jnp.abs(sdy_d) < 1e-8) & (jnp.abs(sdz_d) < 1e-8)
+    ndd = nx * dx + ny * dy + nz * dz
     sdx_d = jnp.where(near0, nx, sdx_d)
     sdy_d = jnp.where(near0, ny, sdy_d)
     sdz_d = jnp.where(near0, nz, sdz_d)
 
     # metal: reflect(d, n) = d - 2 dot(n,d) n
-    ndd = nx * dx + ny * dy + nz * dz
     rx_ = dx - 2.0 * ndd * nx
     ry_ = dy - 2.0 * ndd * ny
     rz_ = dz - 2.0 * ndd * nz
@@ -241,6 +237,13 @@ def _kernel(scal_ref, vpr_ref, table_ref, atab_ref, fin_ref, uin_ref,
     cby = jnp.where(term, ty_ * ly, 0.0)
     cbz = jnp.where(term, tz_ * lz, 0.0)
 
+    acc2 = list(acc)
+    for m in range(m_slots):
+        sel = term & (mrow == m)
+        acc2[3 * m + 0] = acc[3 * m + 0] + jnp.where(sel, cbx, 0.0)
+        acc2[3 * m + 1] = acc[3 * m + 1] + jnp.where(sel, cby, 0.0)
+        acc2[3 * m + 2] = acc[3 * m + 2] + jnp.where(sel, cbz, 0.0)
+
     seed_a = jnp.where(hit, seed_h, seed)
 
     # ---- regen: next sample or next pixel --------------------------------
@@ -267,52 +270,103 @@ def _kernel(scal_ref, vpr_ref, table_ref, atab_ref, fin_ref, uin_ref,
     # normalized bounce direction (shader.rgen:78)
     bx, by, bz = _norm3(sdx, sdy, sdz)
 
-    # ---- writeback --------------------------------------------------------
-    fout_ref[R_O + 0 : R_O + 1, :] = jnp.where(cont, px_, jnp.where(regen, cox, ox))
-    fout_ref[R_O + 1 : R_O + 2, :] = jnp.where(cont, py_, jnp.where(regen, coy, oy))
-    fout_ref[R_O + 2 : R_O + 3, :] = jnp.where(cont, pz_, jnp.where(regen, coz, oz))
-    fout_ref[R_D + 0 : R_D + 1, :] = jnp.where(cont, bx, jnp.where(regen, cdx, dx))
-    fout_ref[R_D + 1 : R_D + 2, :] = jnp.where(cont, by, jnp.where(regen, cdy, dy))
-    fout_ref[R_D + 2 : R_D + 3, :] = jnp.where(cont, bz, jnp.where(regen, cdz, dz))
-    fout_ref[R_FX : R_FX + 1, :] = fxn
-    fout_ref[R_FY : R_FY + 1, :] = fyn
-    fout_ref[R_THR + 0 : R_THR + 1, :] = jnp.where(cont, tx_ * ax, jnp.where(regen, 1.0, tx_))
-    fout_ref[R_THR + 1 : R_THR + 2, :] = jnp.where(cont, ty_ * ay, jnp.where(regen, 1.0, ty_))
-    fout_ref[R_THR + 2 : R_THR + 3, :] = jnp.where(cont, tz_ * az, jnp.where(regen, 1.0, tz_))
-    fout_ref[R_THR + 3 : R_ACC, :] = fin_ref[R_THR + 3 : R_ACC, :]  # pad row
+    st2 = (
+        jnp.where(cont, px_, jnp.where(regen, cox, ox)),
+        jnp.where(cont, py_, jnp.where(regen, coy, oy)),
+        jnp.where(cont, pz_, jnp.where(regen, coz, oz)),
+        jnp.where(cont, bx, jnp.where(regen, cdx, dx)),
+        jnp.where(cont, by, jnp.where(regen, cdy, dy)),
+        jnp.where(cont, bz, jnp.where(regen, cdz, dz)),
+        fxn,
+        fyn,
+        jnp.where(cont, tx_ * ax, jnp.where(regen, 1.0, tx_)),
+        jnp.where(cont, ty_ * ay, jnp.where(regen, 1.0, ty_)),
+        jnp.where(cont, tz_ * az, jnp.where(regen, 1.0, tz_)),
+        jnp.where(alive, jnp.where(regen, seed_r, seed_a), seed),
+        m2,
+        jnp.where(adv, 1, sidx + more.astype(jnp.int32)),
+        jnp.where(cont, depth + 1, jnp.where(regen, 0, depth)),
+        (alive & (cont | regen)).astype(jnp.int32),
+    )
+    return st2, acc2
 
-    # acc rows: add contribution into the lane's current slot
-    for m in range(m_slots):
-        sel = term & (mrow == m)
-        base = R_ACC + 3 * m
-        fout_ref[base : base + 1, :] = fin_ref[base : base + 1, :] + jnp.where(sel, cbx, 0.0)
-        fout_ref[base + 1 : base + 2, :] = fin_ref[base + 1 : base + 2, :] + jnp.where(sel, cby, 0.0)
-        fout_ref[base + 2 : base + 3, :] = fin_ref[base + 2 : base + 3, :] + jnp.where(sel, cbz, 0.0)
+
+def _kernel(scal_ref, vpr_ref, table_ref, atab_ref, fin_ref, uin_ref,
+            fout_ref, uout_ref, *, m_slots, n_lanes, p_total, width, max_depth,
+            tmin, tmax, k_steps):
+    lane = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
+        + pl.program_id(0) * TILE
+    )
+
+    ox, oy, oz = _vec3(fin_ref, R_O)
+    dx, dy, dz = _vec3(fin_ref, R_D)
+    st = (
+        ox, oy, oz, dx, dy, dz,
+        fin_ref[R_FX : R_FX + 1, :],
+        fin_ref[R_FY : R_FY + 1, :],
+        *_vec3(fin_ref, R_THR),
+        uin_ref[U_SEED : U_SEED + 1, :],
+        uin_ref[U_M : U_M + 1, :].astype(jnp.int32),
+        uin_ref[U_SIDX : U_SIDX + 1, :].astype(jnp.int32),
+        uin_ref[U_DEPTH : U_DEPTH + 1, :].astype(jnp.int32),
+        (uin_ref[U_ALIVE : U_ALIVE + 1, :] != 0).astype(jnp.int32),
+    )
+    acc = [
+        fin_ref[R_ACC + i : R_ACC + i + 1, :] for i in range(3 * m_slots)
+    ]
+
+    step = functools.partial(
+        _iterate, lane=lane, scal_ref=scal_ref, vpr_ref=vpr_ref,
+        table_ref=table_ref, atab_ref=atab_ref, m_slots=m_slots,
+        n_lanes=n_lanes, p_total=p_total, width=width, max_depth=max_depth,
+        tmin=tmin, tmax=tmax,
+    )
+
+    def body(_, carry):
+        st, acc = carry
+        return step(st, acc)
+
+    st, acc = jax.lax.fori_loop(0, k_steps, body, (st, acc))
+
+    (ox, oy, oz, dx, dy, dz, fx, fy, tx_, ty_, tz_,
+     seed, mrow, sidx, depth, alive) = st
+    fout_ref[R_O + 0 : R_O + 1, :] = ox
+    fout_ref[R_O + 1 : R_O + 2, :] = oy
+    fout_ref[R_O + 2 : R_O + 3, :] = oz
+    fout_ref[R_D + 0 : R_D + 1, :] = dx
+    fout_ref[R_D + 1 : R_D + 2, :] = dy
+    fout_ref[R_D + 2 : R_D + 3, :] = dz
+    fout_ref[R_FX : R_FX + 1, :] = fx
+    fout_ref[R_FY : R_FY + 1, :] = fy
+    fout_ref[R_THR + 0 : R_THR + 1, :] = tx_
+    fout_ref[R_THR + 1 : R_THR + 2, :] = ty_
+    fout_ref[R_THR + 2 : R_THR + 3, :] = tz_
+    fout_ref[R_THR + 3 : R_ACC, :] = fin_ref[R_THR + 3 : R_ACC, :]  # pad row
+    for i in range(3 * m_slots):
+        fout_ref[R_ACC + i : R_ACC + i + 1, :] = acc[i]
     rf = f_rows(m_slots)
     tail0 = R_ACC + 3 * m_slots
     if tail0 < rf:  # pad rows
         fout_ref[tail0:rf, :] = fin_ref[tail0:rf, :]
 
-    alive_n = alive & (cont | regen)
-    uout_ref[U_SEED : U_SEED + 1, :] = jnp.where(alive, jnp.where(regen, seed_r, seed_a), seed)
-    uout_ref[U_M : U_M + 1, :] = m2.astype(jnp.uint32)
-    uout_ref[U_SIDX : U_SIDX + 1, :] = jnp.where(
-        adv, 1, sidx + more.astype(jnp.int32)
-    ).astype(jnp.uint32)
-    uout_ref[U_DEPTH : U_DEPTH + 1, :] = jnp.where(
-        cont, depth + 1, jnp.where(regen, 0, depth)
-    ).astype(jnp.uint32)
-    uout_ref[U_ALIVE : U_ALIVE + 1, :] = alive_n.astype(jnp.uint32)
+    uout_ref[U_SEED : U_SEED + 1, :] = seed
+    uout_ref[U_M : U_M + 1, :] = mrow.astype(jnp.uint32)
+    uout_ref[U_SIDX : U_SIDX + 1, :] = sidx.astype(jnp.uint32)
+    uout_ref[U_DEPTH : U_DEPTH + 1, :] = depth.astype(jnp.uint32)
+    uout_ref[U_ALIVE : U_ALIVE + 1, :] = alive.astype(jnp.uint32)
     uout_ref[U_ALIVE + 1 : U_ROWS, :] = uin_ref[U_ALIVE + 1 : U_ROWS, :]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("m_slots", "n_lanes", "p_total", "width", "max_depth", "interpret"),
+    static_argnames=(
+        "m_slots", "n_lanes", "p_total", "width", "max_depth", "k_steps", "interpret",
+    ),
 )
 def megakernel_step(scal, vpr, table, atab, fstate, ustate, *, m_slots, n_lanes,
-                    p_total, width, max_depth, interpret=False):
-    """One wavefront iteration over all lanes. State shapes: fstate
+                    p_total, width, max_depth, k_steps=K_STEPS, interpret=False):
+    """``k_steps`` wavefront iterations over all lanes. State shapes: fstate
     [f_rows(M), n_pad], ustate [U_ROWS, n_pad]; n_pad % TILE == 0."""
     n_pad = fstate.shape[1]
     rf = f_rows(m_slots)
@@ -322,6 +376,7 @@ def megakernel_step(scal, vpr, table, atab, fstate, ustate, *, m_slots, n_lanes,
     kernel = functools.partial(
         _kernel, m_slots=m_slots, n_lanes=n_lanes, p_total=p_total, width=width,
         max_depth=max_depth, tmin=np.float32(0.001), tmax=np.float32(10000.0),
+        k_steps=k_steps,
     )
     return pl.pallas_call(
         kernel,

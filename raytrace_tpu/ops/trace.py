@@ -439,7 +439,7 @@ def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
             m_slots=m_slots, n_lanes=n, p_total=p_total, width=width,
             max_depth=max_depth, interpret=interpret,
         )
-        return (f2, u2, it + 1)
+        return (f2, u2, it + mk.K_STEPS)
 
     fstate, ustate, iters = jax.lax.while_loop(
         cond, body, (fstate, ustate, jnp.int32(0))
