@@ -142,7 +142,9 @@ def _iterate(st, acc, lane, scal_ref, vpr_ref, table_ref, atab_ref, *,
     hit = t < BIG
     ids = jax.lax.broadcasted_iota(jnp.int32, tall.shape, 0)
     idx = jnp.min(jnp.where(tall == t, ids, tall.shape[0]), axis=0, keepdims=True)
-    onehot = ((ids == idx) & (tall == t)).astype(jnp.float32)  # [S,T]
+    # ids == idx is exactly one-hot by construction (idx is one index; for
+    # all-miss lanes it selects sphere 0, whose attrs are masked out by hit)
+    onehot = (ids == idx).astype(jnp.float32)  # [S,T]
     # attrs as rows [16, T]: 0-2 center, 3 mat, 4 tex, 5-7 c0, 8-10 c1, 11 fuzz
     at = jax.lax.dot_general(
         atab_ref[:, :], onehot,

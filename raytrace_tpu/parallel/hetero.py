@@ -64,7 +64,7 @@ class HeteroRenderer:
         if config.pixels_per_lane is not None:
             self.pixels_per_lane = config.pixels_per_lane
         else:
-            self.pixels_per_lane = int(np.clip((config.width * h // max(self.n, 1)) >> 17, 1, 32))
+            self.pixels_per_lane = int(np.clip((config.width * h // max(self.n, 1)) >> 15, 1, 64))
 
     def _offsets(self) -> List[int]:
         out, acc = [], 0

@@ -71,7 +71,7 @@ class MultiChipRenderer:
         if config.pixels_per_lane is not None:
             self.pixels_per_lane = config.pixels_per_lane
         else:
-            self.pixels_per_lane = int(np.clip((w * self.band_h) >> 17, 1, 32))
+            self.pixels_per_lane = int(np.clip((w * self.band_h) >> 15, 1, 64))
         self.vp = viewport_arrays(config_camera(config), w, h)
 
         self._compiled = {}  # has_accum -> jitted shard_map fn

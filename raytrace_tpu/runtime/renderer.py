@@ -76,8 +76,8 @@ class Renderer:
         if config.pixels_per_lane is not None:
             self.pixels_per_lane = config.pixels_per_lane
         else:
-            # target ~128K lanes: measured best occupancy/per-iter tradeoff
-            self.pixels_per_lane = int(np.clip((w * h) >> 17, 1, 32))
+            # target ~32K lanes (M up to 64): measured best total time at 1080p
+            self.pixels_per_lane = int(np.clip((w * h) >> 15, 1, 64))
         target = _TARGET_LANES.get(self.backend, 1 << 18)
         self.chunk_rows = max(
             1, min(h, (target * self.pixels_per_lane) // max(w, 1))
