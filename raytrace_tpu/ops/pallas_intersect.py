@@ -178,11 +178,6 @@ def intersect_pallas(o, d, centers_t, kc, valid, tmin, tmax):
     ``intersect_shade_pallas`` which also returns the hit attributes.
     """
     del tmin, tmax  # static in the kernel (T_MIN / MAX_RAY_COLLISION_DISTANCE)
-
-    class _View:
-        centers = np.asarray(centers_t).T
-        radii = None  # unused: kc provided directly
-
     s = centers_t.shape[1]
     tab = np.zeros((s, 24), np.float32)
     tab[:, _C_CX:_C_CZ + 1] = np.asarray(centers_t).T
