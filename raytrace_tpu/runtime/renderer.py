@@ -162,21 +162,37 @@ class Renderer:
         return z["accum"], int(z["samples_done"]), int(z["number"])
 
     def render_resumable(self, total: int, checkpoint_path: Optional[str] = None,
-                         checkpoint_every: int = 0):
-        """Progressive render with optional checkpoint/resume."""
+                         checkpoint_every: int = 0, max_retries: int = 2):
+        """Progressive render with checkpoint/resume + device-fault retry.
+
+        Failure recovery the reference lacks (SURVEY.md §5: its errors just
+        throw to main): each call's accumulator is snapshotted to host, so a
+        TPU runtime fault (observed in practice on very long executions)
+        loses at most one call's work; the render resumes automatically.
+        """
         cfg = self.config
-        per_call = cfg.samples_per_call or max(1, checkpoint_every) if checkpoint_every else (cfg.samples_per_call or total)
+        if checkpoint_every:
+            per_call = cfg.samples_per_call or max(1, checkpoint_every)
+        else:
+            per_call = cfg.samples_per_call or total
         accum, done, number = None, 0, 0
         if checkpoint_path:
             import os
 
             if os.path.exists(checkpoint_path):
                 accum, done, number = self.load_state(checkpoint_path)
+        retries = 0
         while done < total:
             spp = min(per_call, total - done)
-            accum = self.render_call(spp, number=number, accum=accum)
-            done += spp
-            number += 1
+            try:
+                out = self.render_call(spp, number=number, accum=accum)
+                out = np.asarray(out)  # host snapshot; also a real sync point
+            except Exception:
+                if retries >= max_retries:
+                    raise
+                retries += 1
+                continue  # accum (host array) is intact; retry the call
+            accum, done, number = out, done + spp, number + 1
             if checkpoint_path and checkpoint_every and done < total:
                 self.save_state(checkpoint_path, accum, done, number)
         return accum, done

@@ -24,6 +24,7 @@ HELP = """\
 --time <seconds>                  # Scene animation time (default 0)
 --samples-per-call <count>        # Progressive accumulation chunk
 --frames <count>                  # Animated frame loop (0 = adaptive window)
+--checkpoint <path>               # Resume/checkpoint progressive renders
 """
 
 
@@ -67,6 +68,8 @@ def parse_args(argv):
             extras["samples_per_call"] = int(_take())
         elif a == "--frames":
             extras["_frames"] = int(_take())
+        elif a == "--checkpoint":
+            extras["_checkpoint"] = _take()
         else:
             print(f"unknown argument: {a}", file=sys.stderr)
         i += 1
@@ -80,8 +83,30 @@ def main(argv=None):
     if kw is None:
         return 0
     frames = kw.pop("_frames", None)
+    checkpoint = kw.pop("_checkpoint", None)
     try:
-        if frames is not None:
+        if checkpoint is not None:
+            from ..config import RenderConfig
+            from ..ops.image import accum_to_u8
+            from ..runtime.renderer import Renderer
+
+            cfg = RenderConfig(
+                samples=kw["samples"], width=kw["width"], height=kw["height"],
+                max_depth=kw.get("max_depth", 50), backend=kw.get("backend", "auto"),
+                samples_per_call=kw.get("samples_per_call"),
+                scene_time=kw.get("scene_time", 0.0),
+            )
+            r = Renderer(cfg)
+            every = cfg.samples_per_call or max(1, cfg.samples // 20)
+            accum, done = r.render_resumable(
+                cfg.samples, checkpoint_path=checkpoint, checkpoint_every=every)
+            if kw["store_render_result"]:
+                from ..utils.png import write_png
+                import numpy as np
+
+                write_png(kw.get("out_path", "render.png"),
+                          np.asarray(accum_to_u8(accum, done)))
+        elif frames is not None:
             # animated frame loop (reference frame-loop mode, quirk Q8)
             from ..config import RenderConfig
             from ..runtime.frames import FrameLoop

@@ -88,3 +88,34 @@ def test_camera_override_changes_view():
 def test_config_camera_defaults_to_reference():
     from raytrace_tpu.runtime.renderer import config_camera, reference_camera
     assert config_camera(RenderConfig()) == reference_camera()
+
+
+def test_resumable_retries_on_device_fault(monkeypatch):
+    """A failing render_call is retried without losing accumulated work."""
+    r = _renderer(samples_per_call=2)
+    calls = {"n": 0}
+    orig = Renderer.render_call
+
+    def flaky(self, spp, number=0, accum=None):
+        calls["n"] += 1
+        if calls["n"] == 2:  # fail once mid-render
+            raise RuntimeError("TPU worker process crashed")
+        return orig(self, spp, number=number, accum=accum)
+
+    monkeypatch.setattr(Renderer, "render_call", flaky)
+    accum, done = r.render_resumable(4)
+    assert done == 4 and calls["n"] == 3
+    clean = _renderer(samples_per_call=2)
+    ref, _ = clean.render_resumable(4)
+    assert np.allclose(accum, ref, atol=1e-5)
+
+
+def test_resumable_gives_up_after_max_retries(monkeypatch):
+    r = _renderer(samples_per_call=2)
+
+    def broken(self, spp, number=0, accum=None):
+        raise RuntimeError("boom")
+
+    monkeypatch.setattr(Renderer, "render_call", broken)
+    with pytest.raises(RuntimeError):
+        r.render_resumable(4, max_retries=1)
