@@ -20,7 +20,6 @@ are reproducible (pass ``time.time()``-derived values for reference behavior).
 
 from __future__ import annotations
 
-import dataclasses
 import math
 from typing import NamedTuple
 

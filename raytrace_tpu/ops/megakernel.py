@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 from . import rng as rngops
 from .intersect import BIG
 
-TILE = 512  # lanes per grid step
+TILE = 1024  # lanes per grid step
 K_STEPS = 10  # wavefront iterations per kernel invocation (default)
 
 # f32 state rows

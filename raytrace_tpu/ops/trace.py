@@ -31,7 +31,7 @@ reference's per-GPU banding.
 
 from __future__ import annotations
 
-import functools
+
 from typing import NamedTuple
 
 import jax
@@ -43,7 +43,7 @@ from ..models.camera import Camera, calculate_viewport
 from ..models.scene import SceneArrays
 from . import materials
 from . import rng as rngops
-from .intersect import BIG, intersect_bruteforce, intersect_matmul, sphere_constants
+from .intersect import intersect_bruteforce, intersect_matmul, sphere_constants
 
 _U32 = jnp.uint32
 _SKY = np.array([0.7, 0.8, 1.0], np.float32)  # shader.rmiss:15

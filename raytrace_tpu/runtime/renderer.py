@@ -23,7 +23,7 @@ from typing import Optional
 import jax
 import numpy as np
 
-from ..config import MAX_DEPTH, RenderConfig
+from ..config import RenderConfig
 from ..models.camera import Camera
 from ..models.scene import SceneArrays, generate_random_scene
 from ..ops import image as imageops
