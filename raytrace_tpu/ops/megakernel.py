@@ -43,6 +43,7 @@ from .intersect import BIG
 
 TILE = 1024  # lanes per grid step
 K_STEPS = 10  # wavefront iterations per kernel invocation (default)
+S_BLOCK = 512  # sphere rows per intersect block (bounds [S_b, T] VMEM temps)
 
 # f32 state rows
 R_O, R_D, R_FX, R_FY, R_THR, R_ACC = 0, 3, 6, 7, 8, 12
@@ -116,42 +117,59 @@ def _iterate(st, acc, lane, scal_ref, vpr_ref, table_ref, atab_ref, *,
     od = ox * dx + oy * dy + oz * dz
     oo = ox * ox + oy * oy + oz * oz
     inv_a = 1.0 / a
-    kc = table_ref[:, 3:4]
-    vld = table_ref[:, 4:5]
-    # broadcast contractions beat MXU dots here: HIGHEST-precision K=3
-    # matmuls (needed for f32 exactness — see intersect.py) cost more than
-    # the 10 VPU madds they replace (measured 1.45 -> 2.37 ms/iter)
-    cx = table_ref[:, 0:1]
-    cy = table_ref[:, 1:2]
-    cz = table_ref[:, 2:3]
-    cd = cx * dx + cy * dy + cz * dz  # [S,T]
-    co = cx * ox + cy * oy + cz * oz
-    b = od - cd
-    c = oo - 2.0 * co + kc
-    disc = b * b - a * c
-    # sqrt(negative) = NaN; every downstream comparison with NaN is false, so
-    # misses fall through to BIG exactly like the GLSL's D >= 0 branch
-    sq = jnp.sqrt(disc)
-    t1 = (-b - sq) * inv_a
-    t2 = (-b + sq) * inv_a
-    t1_ok = (t1 >= tmin) & (t1 <= tmax)
-    t2_ok = (t2 >= tmin) & (t2 <= tmax)
-    tall = jnp.where(t1_ok, t1, jnp.where(t2_ok, t2, BIG))
-    tall = jnp.where(vld > 0.0, tall, BIG)
-    t = jnp.min(tall, axis=0, keepdims=True)  # [1,T]
+
+    # sphere axis processed in blocks of <= S_BLOCK so [S_b, T] temporaries
+    # stay VMEM-bounded for arbitrarily large stretch scenes; the running
+    # (t, attrs) winner carries across blocks.
+    s_total = table_ref.shape[0]
+    n_blocks = -(-s_total // S_BLOCK)
+    t = None
+    at = None
+    for blk in range(n_blocks):
+        lo = blk * S_BLOCK
+        sb = min(S_BLOCK, s_total - lo)
+        kc = table_ref[lo : lo + sb, 3:4]
+        vld = table_ref[lo : lo + sb, 4:5]
+        # broadcast contractions beat MXU dots here: HIGHEST-precision K=3
+        # matmuls (needed for f32 exactness — see intersect.py) cost more
+        # than the 10 VPU madds they replace (measured 1.45 -> 2.37 ms/iter)
+        cx = table_ref[lo : lo + sb, 0:1]
+        cy = table_ref[lo : lo + sb, 1:2]
+        cz = table_ref[lo : lo + sb, 2:3]
+        cd = cx * dx + cy * dy + cz * dz  # [S_b,T]
+        co = cx * ox + cy * oy + cz * oz
+        b = od - cd
+        c = oo - 2.0 * co + kc
+        disc = b * b - a * c
+        # sqrt(negative) = NaN; every downstream comparison with NaN is
+        # false, so misses fall to BIG exactly like the GLSL's D >= 0 branch
+        sq = jnp.sqrt(disc)
+        t1 = (-b - sq) * inv_a
+        t2 = (-b + sq) * inv_a
+        t1_ok = (t1 >= tmin) & (t1 <= tmax)
+        t2_ok = (t2 >= tmin) & (t2 <= tmax)
+        tall = jnp.where(t1_ok, t1, jnp.where(t2_ok, t2, BIG))
+        tall = jnp.where(vld > 0.0, tall, BIG)
+        t_b = jnp.min(tall, axis=0, keepdims=True)  # [1,T]
+        ids = jax.lax.broadcasted_iota(jnp.int32, tall.shape, 0)
+        idx = jnp.min(jnp.where(tall == t_b, ids, sb), axis=0, keepdims=True)
+        # ids == idx is exactly one-hot by construction (idx is one index;
+        # for all-miss lanes it picks row 0, masked out by hit downstream)
+        onehot = (ids == idx).astype(jnp.float32)  # [S_b,T]
+        # attrs rows [16,T]: 0-2 center, 3 mat, 4 tex, 5-7 c0, 8-10 c1, 11 fuzz
+        at_b = jax.lax.dot_general(
+            atab_ref[:, lo : lo + sb], onehot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if t is None:
+            t, at = t_b, at_b
+        else:
+            better = t_b < t  # earlier block wins ties = lowest-index argmin
+            t = jnp.where(better, t_b, t)
+            at = jnp.where(better, at_b, at)
     hit = t < BIG
-    ids = jax.lax.broadcasted_iota(jnp.int32, tall.shape, 0)
-    idx = jnp.min(jnp.where(tall == t, ids, tall.shape[0]), axis=0, keepdims=True)
-    # ids == idx is exactly one-hot by construction (idx is one index; for
-    # all-miss lanes it selects sphere 0, whose attrs are masked out by hit)
-    onehot = (ids == idx).astype(jnp.float32)  # [S,T]
-    # attrs as rows [16, T]: 0-2 center, 3 mat, 4 tex, 5-7 c0, 8-10 c1, 11 fuzz
-    at = jax.lax.dot_general(
-        atab_ref[:, :], onehot,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
 
     cenx, ceny, cenz = at[0:1, :], at[1:2, :], at[2:3, :]
     mat = at[3:4, :]
