@@ -61,3 +61,13 @@ def test_make_mesh():
     assert mesh.devices.size == 4
     with pytest.raises(ValueError):
         make_mesh(99)
+
+
+def test_pick_devices():
+    from raytrace_tpu.parallel.devices import pick_devices
+
+    devs = pick_devices()
+    assert len(devs) == 8  # virtual CPU mesh
+    assert pick_devices(3) == devs[:3]
+    assert pick_devices(99) == devs  # truncation never over-allocates
+    assert pick_devices(platform="cpu") == devs
