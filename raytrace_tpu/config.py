@@ -50,8 +50,7 @@ class RenderConfig:
     chips: int = 1  # --gpus analogue: TPU chips to shard row bands over
     max_depth: int = MAX_DEPTH
     samples_per_call: Optional[int] = None  # None = all in one call (reference Q3)
-    rng: str = "reference"  # "reference" = TEA+LCG parity; "pcg" = decorrelated
-    backend: str = "auto"  # intersection backend: auto|xla|pallas
+    backend: str = "auto"  # auto|mega|pallas|matmul|bruteforce (trace.py)
     scene_time: float = 0.0  # hero-sphere animation time (scene.h:82-83)
     accum_dtype: str = "float32"  # reference uses dvec3 (Q5); f32 validated in tests
     out_path: str = "render.png"
