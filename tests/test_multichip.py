@@ -71,3 +71,14 @@ def test_pick_devices():
     assert pick_devices(3) == devs[:3]
     assert pick_devices(99) == devs  # truncation never over-allocates
     assert pick_devices(platform="cpu") == devs
+
+
+def test_sharded_mega_backend():
+    """The production megakernel composes with shard_map (interpret mode on
+    the CPU mesh; the real pod path uses the same program)."""
+    cfg = RenderConfig(samples=2, width=32, height=16, max_depth=6,
+                       backend="mega", chips=4, pixels_per_lane=2)
+    sc = three_sphere_scene()
+    multi, _ = MultiChipRenderer(cfg, scene=sc).render(2)
+    single, _ = Renderer(cfg, scene=sc).render(2)
+    assert np.array_equal(np.asarray(single), np.asarray(multi))
