@@ -4,14 +4,23 @@ This module replaces the entire Vulkan RT pipeline of the reference
 (/root/reference/shaders/shader.rgen + rint + rchit + rmiss dispatched by
 ``traceRaysKHR`` at /root/reference/src/vulkan.h:994) with ONE jitted loop.
 
-Design ("persistent pixel-slot wavefront"): every pixel of the band owns a
-vector lane.  Each ``lax.while_loop`` iteration traces exactly one ray segment
-per lane (intersect -> shade -> scatter).  When a lane's path terminates (sky
-miss, metal absorb, or depth 50), its contribution is added to the lane's
-accumulator and the lane *immediately regenerates* the pixel's next sample —
-so array shapes stay static (XLA requirement) and lane occupancy stays ~100%
-for the whole render, unlike a naive per-sample bounce loop whose lanes idle
-as paths die.  Total iterations ~= spp * mean_path_length + a small tail.
+Design ("persistent wavefront with M-pixel lanes"): each vector lane owns M
+strided pixels and renders their samples back-to-back.  Each loop iteration
+traces exactly one ray segment per lane (intersect -> shade -> scatter).
+When a lane's path terminates (sky miss, metal absorb, or depth 50), its
+contribution is added to the lane's current pixel slot and the lane
+*immediately regenerates* the pixel's next sample — or advances to its next
+pixel — so array shapes stay static (XLA requirement) and lane occupancy
+stays ~100% (M > 1 averages per-pixel path-length variance across the lane's
+pixels; without it, sky-pixel lanes idle behind glass-pixel lanes).  Total
+iterations ~= spp * M * mean_path_length + a small tail.
+
+Backends: ``mega`` (production on TPU — the whole iteration in one Pallas
+call, ops/megakernel.py), ``pallas`` (fused intersect+attrs kernel with XLA
+shading), ``matmul`` (pure XLA, MXU contractions; production on CPU), and
+``bruteforce`` (pure XLA in the oracle's exact fp op order — the parity
+reference for tests).  All four implement identical semantics; bruteforce
+and mega are bit-identical on the same platform.
 
 This structure also preserves the reference's RNG semantics exactly: the GLSL
 code runs all samples of a pixel sequentially on one thread with a single
