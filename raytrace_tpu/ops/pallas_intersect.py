@@ -141,6 +141,10 @@ def sphere_table(scene_arrays) -> np.ndarray:
         valid = np.asarray(scene_arrays.valid, np.float32)
     c64 = centers.astype(np.float64)
     kc = (np.sum(c64 * c64, axis=1) - radii.astype(np.float64) ** 2).astype(np.float32)
+    # padding rows get kc = +3e30: c becomes huge, disc goes hugely negative,
+    # sqrt(disc) is NaN and every root comparison fails -> automatic miss.
+    # This lets the megakernel skip a dedicated validity select per pair.
+    kc = np.where(valid > 0, kc, np.float32(3e30))
     tab = np.zeros((s, 24), np.float32)
     tab[:, _C_CX:_C_CZ + 1] = centers
     tab[:, _C_KC] = kc

@@ -116,6 +116,20 @@ def prepare_scene(scene: SceneArrays) -> DeviceScene:
     )
 
 
+def tmax_never_binds(scene: SceneArrays, camera: Camera) -> bool:
+    """True when no intersection in this scene can reach the ray tMax
+    (shader.rgen:26): every hit point and every ray origin lie inside the
+    ball of radius R = max(|center|+r, |camera|), so t <= 2R.  Lets the
+    megakernel drop its upper range checks (skip_tmax) with zero semantic
+    change."""
+    centers = np.asarray(scene.centers, np.float64)
+    radii = np.asarray(scene.radii, np.float64)
+    n = int(scene.n_spheres)
+    reach = float((np.linalg.norm(centers[:n], axis=1) + radii[:n]).max()) if n else 0.0
+    cam = float(np.linalg.norm(np.asarray(camera.look_from, np.float64)))
+    return 2.0 * max(reach, cam) < 0.99 * MAX_RAY_COLLISION_DISTANCE
+
+
 def viewport_arrays(camera: Camera, width: int, height: int) -> ViewportArrays:
     """Precompute calculateViewport (shader.rgen:92-105) once on the host."""
     vp = calculate_viewport(camera, np.float32(width) / np.float32(height))
@@ -220,6 +234,7 @@ def render_band_core(
     max_depth: int = MAX_DEPTH,
     backend: str = "matmul",
     pixels_per_lane: int = 1,
+    skip_tmax: bool = False,
     return_iters: bool = False,
 ):
     """Render one row band; returns the accumulated color sum [band_h, W, 3].
@@ -243,7 +258,7 @@ def render_band_core(
             scene, vp, band_h=band_h, width=width, y0=y0, seed_y0=seed_y0,
             offset_x=offset_x, spp=spp, number=number, accum_init=accum_init,
             max_depth=max_depth, pixels_per_lane=pixels_per_lane,
-            return_iters=return_iters)
+            skip_tmax=skip_tmax, return_iters=return_iters)
 
     p_total = band_h * width
     m_slots = max(1, min(pixels_per_lane, p_total))
@@ -376,7 +391,7 @@ def render_band_core(
 
 def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
                       number, accum_init, max_depth, pixels_per_lane,
-                      return_iters):
+                      skip_tmax, return_iters):
     """Megakernel driver: whole loop body in one Pallas call per iteration
     (ops/megakernel.py); state in row-major [rows, lanes] arrays so the host
     loop does zero layout conversion.  Semantics identical to the generic
@@ -446,7 +461,7 @@ def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
         f2, u2 = mk.megakernel_step(
             scal, vpr, scene.table, atab, f, u,
             m_slots=m_slots, n_lanes=n, p_total=p_total, width=width,
-            max_depth=max_depth, interpret=interpret,
+            max_depth=max_depth, skip_tmax=skip_tmax, interpret=interpret,
         )
         return (f2, u2, it + mk.K_STEPS)
 
@@ -469,7 +484,8 @@ def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
 render_band = jax.jit(
     render_band_core,
     static_argnames=(
-        "band_h", "width", "max_depth", "backend", "pixels_per_lane", "return_iters",
+        "band_h", "width", "max_depth", "backend", "pixels_per_lane",
+        "skip_tmax", "return_iters",
     ),
 )
 

@@ -30,7 +30,8 @@ import numpy as np
 from ..config import RenderConfig
 from ..models.scene import SceneArrays, generate_random_scene
 from ..ops import image as imageops
-from ..ops.trace import prepare_scene, render_band, viewport_arrays
+from ..ops.trace import (prepare_scene, render_band, tmax_never_binds,
+                         viewport_arrays)
 from ..runtime.renderer import config_camera, pick_backend
 from ..runtime.tuner import make_tuner
 
@@ -60,6 +61,7 @@ class HeteroRenderer:
         ds = prepare_scene(self.scene)
         self.device_scenes = [jax.device_put(ds, d) for d in self.devices]
         self.vp = viewport_arrays(config_camera(config), config.width, config.height)
+        self.skip_tmax = tmax_never_binds(self.scene, config_camera(config))
         self.device_vps = [jax.device_put(self.vp, d) for d in self.devices]
         if config.pixels_per_lane is not None:
             self.pixels_per_lane = config.pixels_per_lane
@@ -98,6 +100,7 @@ class HeteroRenderer:
                     max_depth=cfg.max_depth,
                     backend=self.backend,
                     pixels_per_lane=min(self.pixels_per_lane, max(1, self.rows[i] * cfg.width)),
+                    skip_tmax=self.skip_tmax,
                 )
             )
         per_dev = [0.0] * self.n

@@ -30,7 +30,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import RenderConfig
 from ..models.scene import SceneArrays, generate_random_scene
 from ..ops import image as imageops
-from ..ops.trace import prepare_scene, render_band_core, viewport_arrays
+from ..ops.trace import (prepare_scene, render_band_core, tmax_never_binds,
+                         viewport_arrays)
 from ..runtime.renderer import config_camera, pick_backend
 
 
@@ -73,6 +74,7 @@ class MultiChipRenderer:
         else:
             self.pixels_per_lane = int(np.clip((w * self.band_h) >> 15, 1, 64))
         self.vp = viewport_arrays(config_camera(config), w, h)
+        self.skip_tmax = tmax_never_binds(self.scene, config_camera(config))
 
         self._compiled = {}  # has_accum -> jitted shard_map fn
 
@@ -85,6 +87,7 @@ class MultiChipRenderer:
         ref_banding = self.reference_banding
         backend, max_depth = self.backend, cfg.max_depth
         ppl = self.pixels_per_lane
+        skip_tmax = self.skip_tmax
 
         def band_fn(scene, vp, spp, number, accum_band):
             i = jax.lax.axis_index("band")
@@ -94,7 +97,7 @@ class MultiChipRenderer:
                 scene, vp, band_h=band_h, width=w, y0=y0, seed_y0=seed_y0,
                 offset_x=jnp.int32(0), spp=spp, number=number,
                 accum_init=accum_band, max_depth=max_depth, backend=backend,
-                pixels_per_lane=ppl,
+                pixels_per_lane=ppl, skip_tmax=skip_tmax,
             )
 
         if has_accum:

@@ -27,7 +27,8 @@ from ..config import RenderConfig
 from ..models.camera import Camera
 from ..models.scene import SceneArrays, generate_random_scene
 from ..ops import image as imageops
-from ..ops.trace import DeviceScene, prepare_scene, render_band, viewport_arrays
+from ..ops.trace import (DeviceScene, prepare_scene, render_band,
+                         tmax_never_binds, viewport_arrays)
 
 # [N, S] intersection intermediates drive the lane count for the XLA backends;
 # the Pallas backend never materializes them and can take far larger bands.
@@ -83,6 +84,7 @@ class Renderer:
             1, min(h, (target * self.pixels_per_lane) // max(w, 1))
         )
         self.vp = viewport_arrays(config_camera(config), w, h)
+        self.skip_tmax = tmax_never_binds(self.scene, config_camera(config))
 
     def set_scene(self, scene: SceneArrays) -> None:
         self.scene = scene
@@ -115,6 +117,7 @@ class Renderer:
                     max_depth=cfg.max_depth,
                     backend=self.backend,
                     pixels_per_lane=self.pixels_per_lane,
+                    skip_tmax=self.skip_tmax,
                 )
             )
         import jax.numpy as jnp
