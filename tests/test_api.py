@@ -32,3 +32,14 @@ def test_defaults_mirror_reference_abi():
 def test_render_config_defaults():
     cfg = raytrace_tpu.RenderConfig()
     assert (cfg.width, cfg.height, cfg.samples) == (1920, 1080, 10)
+
+
+def test_ray_trace_multichip(tmp_path):
+    import os
+
+    out = os.path.join(tmp_path, "mc.png")
+    img = raytrace_tpu.ray_trace(
+        samples=2, store_render_result=True, width=32, height=24,
+        gpu_count=4, out_path=out, backend="matmul", max_depth=6)
+    assert img.shape == (24, 32, 3)
+    assert os.path.exists(out)
