@@ -427,6 +427,9 @@ def megakernel_step(scal, vpr, table, atab, fstate, ustate, *, m_slots, n_lanes,
             jax.ShapeDtypeStruct((rf, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((U_ROWS, n_pad), jnp.uint32),
         ],
+        # large stretch scenes keep the whole sphere table VMEM-resident;
+        # the default 16 MB scoped limit OOMs past ~2K spheres
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(scal, vpr, table, atab, fstate, ustate)
 
