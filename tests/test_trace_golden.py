@@ -140,3 +140,14 @@ def test_large_sphere_table_renders():
     assert np.array_equal(mm.shape, mg.shape)
     close = np.abs(mm - mg).max(axis=2) < 0.05
     assert close.mean() > 0.85
+
+
+def test_mega_progressive_accumulation(scene):
+    """The megakernel's accumulator-carry path (used by every chunked
+    production render) matches bruteforce exactly."""
+    one = _render(scene, "mega", m=2)
+    two = _render(scene, "mega", m=2, accum=one)
+    bf_one = _render(scene, "bruteforce")
+    bf_two = _render(scene, "bruteforce", accum=bf_one)
+    assert np.array_equal(one, bf_one)
+    assert np.array_equal(two, bf_two)
