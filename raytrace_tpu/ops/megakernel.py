@@ -124,20 +124,17 @@ def _iterate(st, acc, lane, scal_ref, vpr_ref, table_ref, atab_ref, *,
     # (t, attrs) winner carries across blocks.
     s_total = table_ref.shape[0]
     n_blocks = -(-s_total // S_BLOCK)
-    t = None
-    at = None
-    for blk in range(n_blocks):
-        lo = blk * S_BLOCK
-        sb = min(S_BLOCK, s_total - lo)
+
+    def block_hit(table_blk, atab_blk, sb):
         # padding rows carry kc = +3e30 (sphere_table): disc goes hugely
         # negative and the NaN sqrt rejects them — no validity select needed
-        kc = table_ref[lo : lo + sb, 3:4]
+        kc = table_blk[:, 3:4]
         # broadcast contractions beat MXU dots here: HIGHEST-precision K=3
         # matmuls (needed for f32 exactness — see intersect.py) cost more
         # than the 10 VPU madds they replace (measured 1.45 -> 2.37 ms/iter)
-        cx = table_ref[lo : lo + sb, 0:1]
-        cy = table_ref[lo : lo + sb, 1:2]
-        cz = table_ref[lo : lo + sb, 2:3]
+        cx = table_blk[:, 0:1]
+        cy = table_blk[:, 1:2]
+        cz = table_blk[:, 2:3]
         cd = cx * dx + cy * dy + cz * dz  # [S_b,T]
         co = cx * ox + cy * oy + cz * oz
         b = od - cd
@@ -166,17 +163,47 @@ def _iterate(st, acc, lane, scal_ref, vpr_ref, table_ref, atab_ref, *,
         onehot = (ids == idx).astype(jnp.float32)  # [S_b,T]
         # attrs rows [16,T]: 0-2 center, 3 mat, 4 tex, 5-7 c0, 8-10 c1, 11 fuzz
         at_b = jax.lax.dot_general(
-            atab_ref[:, lo : lo + sb], onehot,
+            atab_blk, onehot,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        if t is None:
-            t, at = t_b, at_b
-        else:
-            better = t_b < t  # earlier block wins ties = lowest-index argmin
-            t = jnp.where(better, t_b, t)
-            at = jnp.where(better, at_b, at)
+        return t_b, at_b
+
+    if n_blocks <= 4:
+        # unrolled fast path (book scene: exactly one block)
+        t = None
+        at = None
+        for blk in range(n_blocks):
+            lo = blk * S_BLOCK
+            sb = min(S_BLOCK, s_total - lo)
+            t_b, at_b = block_hit(
+                table_ref[lo : lo + sb, :], atab_ref[:, lo : lo + sb], sb)
+            if t is None:
+                t, at = t_b, at_b
+            else:
+                better = t_b < t  # first block wins ties = lowest-idx argmin
+                t = jnp.where(better, t_b, t)
+                at = jnp.where(better, at_b, at)
+    else:
+        # rolled loop with dynamic table slices (stretch scenes: unrolling
+        # 100+ blocks inside the K-step loop explodes compile time).
+        # sphere_table pads big tables to a multiple of S_BLOCK.
+        t_w = TILE  # lanes
+        def blk_body(blk, carry):
+            t, at = carry
+            lo = blk * S_BLOCK
+            t_b, at_b = block_hit(
+                table_ref[pl.ds(lo, S_BLOCK), :],
+                atab_ref[:, pl.ds(lo, S_BLOCK)],
+                S_BLOCK,
+            )
+            better = t_b < t
+            return (jnp.where(better, t_b, t), jnp.where(better, at_b, at))
+
+        t0_, at0_ = block_hit(table_ref[0:S_BLOCK, :], atab_ref[:, 0:S_BLOCK], S_BLOCK)
+        t, at = jax.lax.fori_loop(1, n_blocks, blk_body, (t0_, at0_))
+        del t_w
     hit = t < BIG
 
     cenx, ceny, cenz = at[0:1, :], at[1:2, :], at[2:3, :]

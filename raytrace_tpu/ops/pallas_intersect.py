@@ -145,16 +145,32 @@ def sphere_table(scene_arrays) -> np.ndarray:
     # sqrt(disc) is NaN and every root comparison fails -> automatic miss.
     # This lets the megakernel skip a dedicated validity select per pair.
     kc = np.where(valid > 0, kc, np.float32(3e30))
+    # big tables are walked in fixed 512-row blocks by the megakernel's
+    # rolled loop — pad the row count to a multiple of 512
+    if s > 512 and s % 512:
+        pad = 512 - s % 512
+        centers = np.concatenate([centers, np.zeros((pad, 3), np.float32)])
+        kc = np.concatenate([kc, np.full((pad,), 3e30, np.float32)])
+        valid = np.concatenate([valid, np.zeros((pad,), np.float32)])
+        s += pad
+
+        def _padded(a, fill=0.0):
+            out = np.full((s,) + np.asarray(a).shape[1:], fill, np.float32)
+            out[: s - pad] = np.asarray(a, np.float32)
+            return out
+    else:
+        def _padded(a, fill=0.0):
+            return np.asarray(a, np.float32)
     tab = np.zeros((s, 24), np.float32)
     tab[:, _C_CX:_C_CZ + 1] = centers
     tab[:, _C_KC] = kc
     tab[:, _C_VALID] = valid
     tab[:, _C_ATTR0 + A_CX : _C_ATTR0 + A_CZ + 1] = centers
-    tab[:, _C_ATTR0 + A_MAT] = np.asarray(scene_arrays.material, np.float32)
-    tab[:, _C_ATTR0 + A_TEX] = np.asarray(scene_arrays.texture, np.float32)
-    tab[:, _C_ATTR0 + A_C0 : _C_ATTR0 + A_C0 + 3] = np.asarray(scene_arrays.color0, np.float32)
-    tab[:, _C_ATTR0 + A_C1 : _C_ATTR0 + A_C1 + 3] = np.asarray(scene_arrays.color1, np.float32)
-    tab[:, _C_ATTR0 + A_ATTR] = np.asarray(scene_arrays.attr, np.float32)
+    tab[:, _C_ATTR0 + A_MAT] = _padded(scene_arrays.material)
+    tab[:, _C_ATTR0 + A_TEX] = _padded(scene_arrays.texture)
+    tab[:, _C_ATTR0 + A_C0 : _C_ATTR0 + A_C0 + 3] = _padded(scene_arrays.color0)
+    tab[:, _C_ATTR0 + A_C1 : _C_ATTR0 + A_C1 + 3] = _padded(scene_arrays.color1)
+    tab[:, _C_ATTR0 + A_ATTR] = _padded(scene_arrays.attr)
     return tab
 
 

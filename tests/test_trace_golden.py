@@ -151,3 +151,16 @@ def test_mega_progressive_accumulation(scene):
     bf_two = _render(scene, "bruteforce", accum=bf_one)
     assert np.array_equal(one, bf_one)
     assert np.array_equal(two, bf_two)
+
+
+def test_rolled_block_loop_matches():
+    """Tables > 4 blocks take the megakernel's rolled fori_loop path with
+    dynamic table slices; must agree with the XLA backend."""
+    from raytrace_tpu.models.scene import random_sphere_field
+
+    sc = random_sphere_field(2500, seed=5, extent=20.0)  # 2560 rows = 5 blocks
+    mm = _render(sc, "matmul", spp=1)
+    mg = _render(sc, "mega", spp=1, m=2)
+    close = np.abs(mm - mg).max(axis=2) < 0.05
+    assert close.mean() > 0.95
+    assert abs(mm.mean() - mg.mean()) / max(mm.mean(), 1e-9) < 0.05
