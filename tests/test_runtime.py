@@ -119,3 +119,15 @@ def test_resumable_gives_up_after_max_retries(monkeypatch):
     monkeypatch.setattr(Renderer, "render_call", broken)
     with pytest.raises(RuntimeError):
         r.render_resumable(4, max_retries=1)
+
+
+def test_device_trace_smoke(tmp_path):
+    """jax.profiler trace context works around a render (SURVEY §5 gap)."""
+    from raytrace_tpu.runtime.profiling import device_trace
+
+    r = _renderer()
+    with device_trace(str(tmp_path)):
+        np.asarray(r.render_call(1))
+    import os
+
+    assert any(True for _ in os.scandir(tmp_path))  # trace files written
