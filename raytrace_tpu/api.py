@@ -43,6 +43,7 @@ def ray_trace(
     backend: str = "auto",
     max_depth: int = 50,
     samples_per_call: Optional[int] = None,
+    accum_dtype: str = "float32",
 ) -> np.ndarray:
     """Drop-in analogue of the reference C ABI entry point.
 
@@ -63,6 +64,7 @@ def ray_trace(
         backend=backend,
         scene_time=scene_time,
         out_path=out_path,
+        accum_dtype=accum_dtype,
     )
     t0 = time.perf_counter()
     img = render_image(config)

@@ -64,7 +64,12 @@ def get_random_color(engine: MT19937) -> np.ndarray:
     s = np.float32(0.75)
     v = np.float32(0.45)
     c = s * v
-    x = np.float32(c * (1.0 - abs(math.fmod(float(h) / 60.0, 2.0) - 1.0)))
+    # whole chain in f32 like the reference (scene.h:52) — a float64
+    # intermediate could double-round 1 ulp off
+    x = c * (
+        np.float32(1.0)
+        - np.abs(np.fmod(h / np.float32(60.0), np.float32(2.0)) - np.float32(1.0))
+    )
     m = v - c
     if 0 <= h < 60:
         r, g, b = c, x, np.float32(0)

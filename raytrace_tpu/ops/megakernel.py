@@ -38,6 +38,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .. import config
 from . import rng as rngops
 from .intersect import BIG
 
@@ -189,7 +190,6 @@ def _iterate(st, acc, lane, scal_ref, vpr_ref, table_ref, atab_ref, *,
         # rolled loop with dynamic table slices (stretch scenes: unrolling
         # 100+ blocks inside the K-step loop explodes compile time).
         # sphere_table pads big tables to a multiple of S_BLOCK.
-        t_w = TILE  # lanes
         def blk_body(blk, carry):
             t, at = carry
             lo = blk * S_BLOCK
@@ -203,7 +203,6 @@ def _iterate(st, acc, lane, scal_ref, vpr_ref, table_ref, atab_ref, *,
 
         t0_, at0_ = block_hit(table_ref[0:S_BLOCK, :], atab_ref[:, 0:S_BLOCK], S_BLOCK)
         t, at = jax.lax.fori_loop(1, n_blocks, blk_body, (t0_, at0_))
-        del t_w
     hit = t < BIG
 
     cenx, ceny, cenz = at[0:1, :], at[1:2, :], at[2:3, :]
@@ -432,7 +431,8 @@ def megakernel_step(scal, vpr, table, atab, fstate, ustate, *, m_slots, n_lanes,
     # multiple of 8 works — the stretch procedural scenes use larger tables)
     kernel = functools.partial(
         _kernel, m_slots=m_slots, n_lanes=n_lanes, p_total=p_total, width=width,
-        max_depth=max_depth, tmin=np.float32(0.001), tmax=np.float32(10000.0),
+        max_depth=max_depth, tmin=np.float32(config.T_MIN),
+        tmax=np.float32(config.MAX_RAY_COLLISION_DISTANCE),
         k_steps=k_steps, skip_tmax=skip_tmax,
     )
     return pl.pallas_call(

@@ -30,6 +30,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .. import config
 from .intersect import BIG
 
 TILE_N = 1024  # rays per grid step (1-D outputs require 1024-lane f32 blocks)
@@ -106,7 +107,9 @@ def _intersect_pallas_padded(rays8, table, *, interpret=False):
     grid = n_pad // TILE_N
     s = table.shape[0]
     kernel = functools.partial(
-        _kernel, tmin=np.float32(0.001), tmax=np.float32(10000.0)
+        _kernel,
+        tmin=np.float32(config.T_MIN),
+        tmax=np.float32(config.MAX_RAY_COLLISION_DISTANCE),
     )
     t, attrs = pl.pallas_call(
         kernel,

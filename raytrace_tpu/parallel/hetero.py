@@ -21,6 +21,7 @@ acquire-present probe, ray_trace.cpp:609-644).
 
 from __future__ import annotations
 
+import threading
 import time
 from typing import List, Optional, Sequence
 
@@ -103,13 +104,28 @@ class HeteroRenderer:
                     skip_tmax=self.skip_tmax,
                 )
             )
+        # fetch bands concurrently (one thread per device) so per_dev[i]
+        # reflects device i's own completion time, not the fetch order —
+        # matching the reference's per-device-parallel acquire-present probe
+        # (ray_trace.cpp:609-644 under std::execution::par_unseq). A serial
+        # fetch loop would inflate device i's estimate to include waiting on
+        # devices 0..i-1 and the tuner's variance trigger would never fire.
         per_dev = [0.0] * self.n
         bands = [None] * self.n
-        for i, f in enumerate(futs):
-            if f is None:
-                continue
+
+        def _fetch(i, f):
             bands[i] = np.asarray(f)  # blocks until device i is done
             per_dev[i] = time.perf_counter() - t0
+
+        threads = [
+            threading.Thread(target=_fetch, args=(i, f))
+            for i, f in enumerate(futs)
+            if f is not None
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
         frame_s = time.perf_counter() - t0
         accum = np.concatenate([b for b in bands if b is not None], axis=0)
         return accum, frame_s, per_dev

@@ -127,13 +127,32 @@ class Renderer:
     def render(self, samples: Optional[int] = None):
         """Full render: ``samples`` total spp, split into progressive calls of
         ``config.samples_per_call`` (reference runs everything in one call,
-        quirk Q3).  Returns (accum_sum [H,W,3], total_spp)."""
+        quirk Q3).  Returns (accum_sum [H,W,3], total_spp).
+
+        accum_dtype="float64" reproduces the reference's dvec3 accumulation
+        semantics (shader.rgen:55, quirk Q5): each call's f32 chunk sum is
+        added into a float64 host accumulator (TPU f64 is emulated/slow, so
+        the f64 adds happen host-side across calls — in-chunk summation stays
+        device f32).  The f32-vs-f64 image error at benchmark scale is
+        recorded in docs/PERFORMANCE.md.
+        """
         cfg = self.config
         total = cfg.samples if samples is None else samples
         per_call = cfg.samples_per_call or total
-        accum = None
         number = 0
         done = 0
+        if cfg.accum_dtype == "float64":
+            accum64: Optional[np.ndarray] = None
+            while done < total:
+                spp = min(per_call, total - done)
+                chunk = np.asarray(self.render_call(spp, number=number), np.float64)
+                accum64 = chunk if accum64 is None else accum64 + chunk
+                done += spp
+                number += 1
+            return accum64, total
+        if cfg.accum_dtype != "float32":
+            raise ValueError(f"unsupported accum_dtype: {cfg.accum_dtype!r}")
+        accum = None
         while done < total:
             spp = min(per_call, total - done)
             accum = self.render_call(spp, number=number, accum=accum)

@@ -19,10 +19,11 @@ HELP = """\
 --height <height>                 # Image height
 --gpus <count>                    # Max used TPU chips count
 --out <path>                      # Output PNG path (default render.png)
---backend <auto|matmul|bruteforce|pallas>  # Intersection backend
+--backend <auto|mega|matmul|bruteforce|pallas>  # Intersection backend
 --depth <count>                   # Max bounce depth (default 50)
 --time <seconds>                  # Scene animation time (default 0)
 --samples-per-call <count>        # Progressive accumulation chunk
+--accum <float32|float64>         # Cross-call accumulator dtype (Q5 dvec3)
 --frames <count>                  # Animated frame loop (0 = adaptive window)
 --checkpoint <path>               # Resume/checkpoint progressive renders
 """
@@ -66,6 +67,8 @@ def parse_args(argv):
             extras["scene_time"] = float(_take())
         elif a == "--samples-per-call":
             extras["samples_per_call"] = int(_take())
+        elif a == "--accum":
+            extras["accum_dtype"] = _take()
         elif a == "--frames":
             extras["_frames"] = int(_take())
         elif a == "--checkpoint":

@@ -43,10 +43,8 @@ def compare_accums(a: np.ndarray, b: np.ndarray, spp_a: int, spp_b: int,
     ma = ia_t.mean(axis=(1, 3, 4))
     mb = ib_t.mean(axis=(1, 3, 4))
     var_b = ib_t.var(axis=(1, 3, 4))
-    n_eff = tile * tile * min(spp_a, spp_b) / max(spp_b, 1)
     se = np.sqrt(np.maximum(var_b, 1e-8) * (1.0 / (tile * tile)) * (1 + spp_b / max(spp_a, 1)))
     z = np.abs(ma - mb) / np.maximum(se, 1e-6)
-    del n_eff
 
     da = np.sqrt(np.clip(ia, 0, 1))
     db = np.sqrt(np.clip(ib, 0, 1))

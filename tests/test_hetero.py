@@ -1,5 +1,7 @@
 """Heterogeneous dispatch + tuner integration on the virtual CPU mesh."""
 
+import time
+
 import numpy as np
 
 from raytrace_tpu.config import RenderConfig
@@ -39,6 +41,55 @@ def test_hetero_reference_banding_differs_but_statistically_matches():
     single = np.asarray(single)
     assert not np.array_equal(accum, single)
     assert abs(accum.mean() - single.mean()) / single.mean() < 0.15
+
+
+class _SlowBand:
+    """Future-like band whose host fetch takes a prescribed time."""
+
+    def __init__(self, shape, delay):
+        self._shape, self._delay = shape, delay
+
+    def __array__(self, dtype=None, copy=None):
+        time.sleep(self._delay)
+        return np.zeros(self._shape, np.float32 if dtype is None else dtype)
+
+
+def _patch_synthetic_devices(monkeypatch, renderer, per_row_s):
+    """Replace render_band with a zero-image future that 'computes' for
+    rows * per_row_s[device] seconds (device identified by its y0 offset)."""
+    import raytrace_tpu.parallel.hetero as hetero_mod
+
+    def fake(*args, **kw):
+        dev = renderer._offsets().index(int(kw["y0"]))
+        return _SlowBand((int(kw["band_h"]), renderer.config.width, 3),
+                         int(kw["band_h"]) * per_row_s[dev])
+
+    monkeypatch.setattr(hetero_mod, "render_band", fake)
+
+
+def test_probe_is_per_device_not_serialized(monkeypatch):
+    """A fast device listed AFTER a slow one must still report a small busy
+    time — the reference probe is per-device-parallel (ray_trace.cpp:609-644);
+    a serial fetch loop would report per_dev[1] >= per_dev[0]."""
+    sc = three_sphere_scene()
+    r = HeteroRenderer(_cfg(chips=2, height=48), scene=sc)
+    _patch_synthetic_devices(monkeypatch, r, [4e-3, 1e-4])  # dev0 40x slower
+    _, _, per_dev = r.render_frame(SPP)
+    assert per_dev[1] < per_dev[0] / 2
+
+
+def test_tuner_converges_on_2x_slow_device(monkeypatch):
+    """Full loop (threaded probe -> tuner -> row re-split) rebalances toward
+    the ~2:1 row split when device 1 is 2x slower per row."""
+    sc = three_sphere_scene()
+    r = HeteroRenderer(_cfg(chips=2, height=48), scene=sc)
+    _patch_synthetic_devices(monkeypatch, r, [1e-3, 2e-3])
+    assert r.rows == [24, 24]
+    for _ in range(60):
+        r.tune_round(SPP, frames=1)
+        assert sum(r.rows) == 48 and all(rr >= 1 for rr in r.rows)
+    # optimum is 32:16; require clear movement toward it
+    assert r.rows[0] - r.rows[1] >= 8, r.rows
 
 
 def test_tune_round_updates_rows():

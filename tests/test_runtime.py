@@ -131,3 +131,30 @@ def test_device_trace_smoke(tmp_path):
     import os
 
     assert any(True for _ in os.scandir(tmp_path))  # trace files written
+
+
+def test_accum_dtype_f64_matches_f32_statistically():
+    """Q5 (shader.rgen:55 dvec3): float64 cross-call accumulation. At small
+    sample counts f32 summation is near-exact, so the two modes must agree
+    to f32 rounding; the dtype and per-call chunking must be honored."""
+    r32 = _renderer(samples=8, samples_per_call=2)
+    r64 = _renderer(samples=8, samples_per_call=2, accum_dtype="float64")
+    a32, n32 = r32.render()
+    a64, n64 = r64.render()
+    assert n32 == n64 == 8
+    assert isinstance(a64, np.ndarray) and a64.dtype == np.float64
+    a32 = np.asarray(a32, np.float64)
+    assert np.allclose(a32, a64, rtol=1e-5, atol=1e-6)
+    # tonemap path accepts the f64 host accumulator
+    from raytrace_tpu.ops.image import accum_to_u8
+
+    u8 = accum_to_u8(a64, 8)
+    assert u8.dtype == np.uint8 and u8.shape == (H, W, 3)
+
+
+def test_accum_dtype_rejects_unknown():
+    r = _renderer(accum_dtype="bfloat16")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        r.render(2)
