@@ -1,0 +1,185 @@
+"""Uniform-grid acceleration structure for the wavefront megakernel.
+
+The TPU-native replacement for the reference's hardware BVH
+(/root/reference/src/vulkan.h:395-554 BLAS/TLAS + :994 traceRaysKHR): instead
+of per-ray tree traversal on RT cores, rays DDA-march a half-integer-aligned
+uniform cell grid over the small-sphere field (the book scene lays its 484
+field spheres on a 22x22 unit lattice, scene.h:118-125 — a uniform grid is
+the *ideal* structure for it), testing <=4 candidate spheres per cell fetched
+with per-lane Mosaic ``dynamic_gather`` ops.  Large spheres that would bloat
+every cell's candidate list (ground, heroes) go to a small "global" table the
+kernel brute-forces every segment — their hits also prune the march.
+
+Exactness contract (grid backend must be bit-identical to brute force):
+ - every sphere is registered in every cell its delta-enlarged AABB touches,
+   so DDA fp slop (~1e-4 world units) cannot skip a hit (delta = 1e-2);
+ - per-sphere quadratic uses the same packed (cx, cz, kc) values and the same
+   op order as the brute-force table (kc is *gathered*, not recomputed, so
+   the f64-precomputed value matches bit-for-bit);
+ - candidates within a cell are sorted by sphere index and compared with
+   strict ``<``, and cells are visited in ray order, reproducing the
+   brute-force lowest-index-wins tie-break (up to exact-fp-tie collisions
+   across cells, which have no representable-probability mass).
+
+Gather layout (Mosaic dynamic_gather along lanes requires 128-wide tables):
+cells are numbered (ix * ncz + iz) and split into CB blocks of 128; a fetch
+gathers all (value, block) rows at the cell's low 7 bits, then selects the
+block by the high bits.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+CELL_LANES = 128  # dynamic_gather lane-table width
+N_SLOTS = 4  # candidate spheres per cell
+DELTA = 1e-2  # conservative AABB enlargement (>> DDA fp slop)
+MAX_CELLS = 8 * CELL_LANES  # CB <= 8 keeps the fetch tables small
+MAX_GLOBALS = 8
+POISON = np.float32(3e30)  # kc sentinel: disc < 0 -> NaN sqrt -> miss
+
+
+class GridTables(NamedTuple):
+    """Device tables for the grid megakernel (all f32; see gridkernel.py)."""
+
+    ctab: np.ndarray  # [3*N_SLOTS*CB, 128] cell candidates: row (v*CB+cb),
+    #                   v = slot*3 + {0:cx, 1:cz, 2:kc}
+    itab: np.ndarray  # [N_SLOTS*CB, 128] candidate global sphere index,
+    #                   row (slot*CB+cb); empty slots carry 0 (never win)
+    atab: np.ndarray  # [12*AB, 128] per-sphere shading attrs, row (v*AB+ab):
+    #                   v in (cx,cy,cz,mat,tex,c0*3,c1*3,attr)
+    gtab: np.ndarray  # [8, 8] global spheres: cx,cy,cz,kc,idx,0,0,0 (SMEM)
+    gscal: np.ndarray  # [1, 16] f32 scalars: xlo,xhi,ylo,yhi,zlo,zhi,
+    #                    cminx,cminz,ncz_f,cy_uniform,cmaxx,cmaxz
+    # (cell/attr block counts are derived from ctab/atab shapes — the tuple
+    # stays a pure array pytree so it can ride through jit untraced-free)
+
+
+# gscal slot indices
+G_XLO, G_XHI, G_YLO, G_YHI, G_ZLO, G_ZHI = 0, 1, 2, 3, 4, 5
+G_CMINX, G_CMINZ, G_NCZ, G_CY, G_CMAXX, G_CMAXZ = 6, 7, 8, 9, 10, 11
+
+
+def build_grid(scene, table: np.ndarray) -> Optional[GridTables]:
+    """Build grid tables from a SceneArrays + its packed sphere table
+    (pallas_intersect.sphere_table — source of the bit-exact kc column).
+
+    Returns None when the scene doesn't fit the structure (too many large
+    spheres, too many cells, crowded cells, non-uniform field height) — the
+    caller falls back to the brute-force megakernel.
+    """
+    centers = np.asarray(scene.centers, np.float32)
+    radii = np.asarray(scene.radii, np.float32)
+    n = int(scene.n_spheres)
+    if n == 0:
+        return None
+    kc = np.asarray(table[:, 3], np.float32)  # _C_KC column, f64-precomputed
+
+    # eligibility: a sphere is grid-eligible when its delta-enlarged AABB
+    # spans <= 2 cells per axis, i.e. 2*(r+DELTA) <= 1; everything else goes
+    # to the brute-forced global table
+    idx_all = np.arange(n)
+    small = radii[:n] <= 0.5 - DELTA
+    g_idx = idx_all[~small]
+    s_idx = idx_all[small]
+    if len(g_idx) > MAX_GLOBALS or len(s_idx) == 0:
+        return None
+    cy = centers[s_idx, 1]
+    if not np.all(cy == cy[0]):
+        return None  # kernel specializes on a uniform field height
+
+    cx, cz = centers[s_idx, 0], centers[s_idx, 2]
+    r = radii[s_idx]
+    # half-integer lattice: cell c covers [c-0.5, c+0.5)
+    cmin_x = int(np.floor((cx - r - DELTA).min() + 0.5))
+    cmax_x = int(np.floor((cx + r + DELTA).max() + 0.5))
+    cmin_z = int(np.floor((cz - r - DELTA).min() + 0.5))
+    cmax_z = int(np.floor((cz + r + DELTA).max() + 0.5))
+    # guard ring: one empty cell on each side absorbs DDA boundary fp slop
+    cmin_x -= 1
+    cmax_x += 1
+    cmin_z -= 1
+    cmax_z += 1
+    ncx = cmax_x - cmin_x + 1
+    ncz = cmax_z - cmin_z + 1
+    n_cells = ncx * ncz
+    if n_cells > MAX_CELLS:
+        return None
+
+    cb = -(-n_cells // CELL_LANES)
+    cells_pad = cb * CELL_LANES
+    slots_cx = np.zeros((N_SLOTS, cells_pad), np.float32)
+    slots_cz = np.zeros((N_SLOTS, cells_pad), np.float32)
+    slots_kc = np.full((N_SLOTS, cells_pad), POISON, np.float32)
+    slots_id = np.zeros((N_SLOTS, cells_pad), np.float32)
+    counts = np.zeros((cells_pad,), np.int32)
+
+    # register each sphere in every cell its enlarged AABB overlaps;
+    # s_idx is ascending, so slots end up sorted by sphere index
+    for si, sphere in enumerate(s_idx):
+        x, z, rr = cx[si], cz[si], r[si] + DELTA
+        ix0 = int(np.floor((x - rr) + 0.5))
+        ix1 = int(np.floor((x + rr) + 0.5))
+        iz0 = int(np.floor((z - rr) + 0.5))
+        iz1 = int(np.floor((z + rr) + 0.5))
+        for ix in range(ix0, ix1 + 1):
+            for iz in range(iz0, iz1 + 1):
+                cell = (ix - cmin_x) * ncz + (iz - cmin_z)
+                k = counts[cell]
+                if k >= N_SLOTS:
+                    return None  # crowded cell: grid not applicable
+                slots_cx[k, cell] = x
+                slots_cz[k, cell] = z
+                slots_kc[k, cell] = kc[sphere]
+                slots_id[k, cell] = np.float32(sphere)
+                counts[cell] = k + 1
+
+    # ctab rows: (slot*3 + v) * cb + block
+    ctab = np.zeros((3 * N_SLOTS * cb, CELL_LANES), np.float32)
+    itab = np.zeros((N_SLOTS * cb, CELL_LANES), np.float32)
+    for s in range(N_SLOTS):
+        for b in range(cb):
+            sl = slice(b * CELL_LANES, (b + 1) * CELL_LANES)
+            ctab[(s * 3 + 0) * cb + b] = slots_cx[s, sl]
+            ctab[(s * 3 + 1) * cb + b] = slots_cz[s, sl]
+            ctab[(s * 3 + 2) * cb + b] = slots_kc[s, sl]
+            itab[s * cb + b] = slots_id[s, sl]
+
+    # attrs by global sphere id (megakernel attr row order):
+    # cx,cy,cz,mat,tex,c0r,c0g,c0b,c1r,c1g,c1b,attr  (= table cols 8..19)
+    s_tot = table.shape[0]
+    ab = -(-s_tot // CELL_LANES)
+    ids_pad = ab * CELL_LANES
+    attrs = np.zeros((12, ids_pad), np.float32)
+    attrs[:, :s_tot] = table[:, 8:20].T
+    atab = np.zeros((12 * ab, CELL_LANES), np.float32)
+    for v in range(12):
+        for b in range(ab):
+            atab[v * ab + b] = attrs[v, b * CELL_LANES : (b + 1) * CELL_LANES]
+
+    gtab = np.zeros((MAX_GLOBALS, 8), np.float32)
+    gtab[:, 3] = POISON  # padding rows never hit
+    for k, sphere in enumerate(g_idx):
+        gtab[k, 0:3] = centers[sphere]
+        gtab[k, 3] = kc[sphere]
+        gtab[k, 4] = np.float32(sphere)
+
+    y_lo = np.float32((cy - radii[s_idx]).min() - DELTA)
+    y_hi = np.float32((cy + radii[s_idx]).max() + DELTA)
+    gscal = np.zeros((1, 16), np.float32)
+    gscal[0, G_XLO] = np.float32(cmin_x) - 0.5
+    gscal[0, G_XHI] = np.float32(cmax_x) + 0.5
+    gscal[0, G_YLO] = y_lo
+    gscal[0, G_YHI] = y_hi
+    gscal[0, G_ZLO] = np.float32(cmin_z) - 0.5
+    gscal[0, G_ZHI] = np.float32(cmax_z) + 0.5
+    gscal[0, G_CMINX] = np.float32(cmin_x)
+    gscal[0, G_CMINZ] = np.float32(cmin_z)
+    gscal[0, G_NCZ] = np.float32(ncz)
+    gscal[0, G_CY] = np.float32(cy[0])
+    gscal[0, G_CMAXX] = np.float32(cmax_x)
+    gscal[0, G_CMAXZ] = np.float32(cmax_z)
+
+    return GridTables(ctab=ctab, itab=itab, atab=atab, gtab=gtab, gscal=gscal)

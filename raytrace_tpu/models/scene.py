@@ -132,8 +132,15 @@ def generate_random_scene(t: float = 0.0) -> SceneArrays:
     idx = 4
     for a in range(-11, 11):
         for b in range(-11, 11):
-            cx = np.float32(a) + np.float32(0.9) * uniform_float(engine)
+            # The center draws sit inside glm::vec4's ARGUMENT LIST
+            # (scene.h:124-125) and C++ argument evaluation order is
+            # unspecified; g++ (which builds the reference on Linux)
+            # evaluates right-to-left at every -O level, so the FIRST engine
+            # draw lands in the z component and the second in x.  Pinned
+            # byte-for-byte against a compiled probe in
+            # tests/test_scene_layout_probe.py.
             cz = np.float32(b) + np.float32(0.9) * uniform_float(engine)
+            cx = np.float32(a) + np.float32(0.9) * uniform_float(engine)
             centers[idx] = (cx, 0.2, cz)
             radii[idx] = 0.2
             p = uniform_float(engine)
@@ -142,11 +149,12 @@ def generate_random_scene(t: float = 0.0) -> SceneArrays:
                 color0[idx] = get_random_color(engine)
             elif p < 0.85:
                 material[idx] = METAL
-                color0[idx] = (
-                    uniform_float(engine, 0.5, 1.0),
-                    uniform_float(engine, 0.5, 1.0),
-                    uniform_float(engine, 0.5, 1.0),
-                )
+                # same right-to-left argument order (scene.h:135-136):
+                # draws land in b, g, r
+                cb_ = uniform_float(engine, 0.5, 1.0)
+                cg_ = uniform_float(engine, 0.5, 1.0)
+                cr_ = uniform_float(engine, 0.5, 1.0)
+                color0[idx] = (cr_, cg_, cb_)
             else:
                 material[idx] = REFRACTIVE
                 color0[idx] = (1.0, 1.0, 1.0)

@@ -1,0 +1,519 @@
+"""Grid-DDA megakernel: the TPU acceleration-structure backend.
+
+Replaces the brute-force 512-sphere scan of ops/megakernel.py with per-lane
+uniform-grid traversal — the TPU-native answer to the reference's hardware
+BVH (/root/reference/src/vulkan.h:395-554 + :994 traceRaysKHR, whose RT
+cores touch ~10 nodes per segment where brute force tests all 512 spheres).
+
+Per wavefront iteration each lane is in one of two modes:
+
+  need_start (fresh segment): brute-force the <=8 "global" spheres
+      (ground + heroes — large spheres that would crowd every cell), clip
+      the ray against the grid's slab/box, and initialize an Amanatides-Woo
+      2-D DDA over the (x,z) cell lattice;
+  marching: up to ``j_steps`` DDA steps — fetch the cell's <=4 candidate
+      spheres (cx, cz, kc) with per-lane Mosaic ``dynamic_gather`` ops
+      (models/grid.py layout), run the exact brute-force quadratic on them,
+      and advance; the march ends when the next cell's entry t can no longer
+      beat the best hit (t_exit >= t_best) or the ray leaves the grid.
+
+Lanes whose march completed shade (same shader.rchit/rgen row math as the
+brute-force megakernel — materials, termination, accumulation, sample/pixel
+regen), with the winner's attributes fetched by two more gathers (candidate
+id, then the 12 attr values) instead of the megakernel's one-hot MXU
+contraction.  Lanes mid-march skip shading and continue next iteration.
+
+Exactness: bit-identical to the brute-force megakernel (tests pin it) — same
+packed (cx, cz, kc) table values, same quadratic op order, strict-< winner
+updates over index-sorted candidates and ray-ordered cells reproduce the
+lowest-index argmin, and the builder's delta-enlarged candidate registration
+makes DDA fp slop unable to skip a reachable sphere (models/grid.py).
+
+State layout (f32 rows; M = pixels_per_lane):
+  0-2 o | 3-5 d | 6 fx | 7 fy | 8-10 thr | 11 t_best | 12 t_end | 13 t_nx
+  | 14 t_nz | 15 bkey | 16+3m+c acc[m].rgb
+u32 rows: 0 seed | 1 m | 2 sidx | 3 depth | 4 alive | 5 marching | 6 icx | 7 icz
+bkey encodes the winner: cell*4+slot for grid hits, 4096+sphere_id for
+global hits (resolved to a sphere id only at shading time).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import config
+from ..models.grid import (G_CMAXX, G_CMAXZ, G_CMINX, G_CMINZ, G_CY, G_NCZ,
+                           G_XHI, G_XLO, G_YHI, G_YLO, G_ZHI, G_ZLO, N_SLOTS)
+from . import rng as rngops
+from .intersect import BIG
+from .megakernel import (_SKY, S_NUMBER, S_OFFX, S_SEEDY0, S_SPP, S_Y0, TILE,
+                         _camera_rays_rows, _norm3, _vec3)
+
+K_STEPS = 10  # wavefront iterations per kernel invocation
+J_STEPS = 3  # DDA cell steps per wavefront iteration
+
+# f32 state rows
+R_O, R_D, R_FX, R_FY, R_THR = 0, 3, 6, 7, 8
+R_TB, R_TE, R_TNX, R_TNZ, R_BKEY, R_ACC = 11, 12, 13, 14, 15, 16
+# u32 state rows
+U_SEED, U_M, U_SIDX, U_DEPTH, U_ALIVE, U_MARCH, U_ICX, U_ICZ = range(8)
+U_ROWS = 8
+
+_TAG = np.float32(4096.0)  # bkey values >= _TAG are direct sphere ids
+
+
+def f_rows(m_slots: int) -> int:
+    r = R_ACC + 3 * m_slots
+    return -(-r // 8) * 8
+
+
+def _gather_rows(tab, cid, *, blocks, n_vals):
+    """Per-lane fetch of ``n_vals`` f32 values from a blocked lane-table.
+
+    tab: [n_vals*blocks, 128] with row (v*blocks + b) holding value v of
+    entries b*128..b*128+127.  cid: [1, T] i32 entry ids (T % 128 == 0).
+    Returns [n_vals, T].  Mosaic lowers jnp.take_along_axis(axis=1) to
+    tpu.dynamic_gather, which requires 128-wide tables — hence the per-128-
+    lane chunking (measured ~22 ns per chunked gather, scripts/bench_gather).
+    """
+    t = cid.shape[1]
+    nb = t // 128
+    lo = (cid & 127).reshape(nb, 128)
+    hi = (cid >> 7).reshape(nb, 128)
+    rows = tab.shape[0]
+    chunks = []
+    for rb in range(nb):
+        lo_b = jax.lax.broadcast_in_dim(lo[rb : rb + 1, :], (rows, 128), (0, 1))
+        g = jnp.take_along_axis(tab, lo_b, axis=1)  # [rows, 128]
+        hi_b = hi[rb : rb + 1, :]
+        vals = []
+        for v in range(n_vals):
+            s = g[v * blocks : v * blocks + 1, :]
+            for b in range(1, blocks):
+                s = jnp.where(hi_b == b, g[v * blocks + b : v * blocks + b + 1, :], s)
+            vals.append(s)
+        chunks.append(jnp.concatenate(vals, axis=0))  # [n_vals, 128]
+    return jnp.concatenate(chunks, axis=1)  # [n_vals, T]
+
+
+def _slab(o_c, d_c, lo, hi):
+    """Ray vs axis slab [lo, hi] -> (t_enter, t_exit); degenerate d handled
+    (inside -> (-BIG, BIG), outside -> empty)."""
+    inv = 1.0 / d_c
+    ta = (lo - o_c) * inv
+    tb = (hi - o_c) * inv
+    t0 = jnp.minimum(ta, tb)
+    t1 = jnp.maximum(ta, tb)
+    deg = d_c == 0.0
+    inside = (o_c >= lo) & (o_c <= hi)
+    t0 = jnp.where(deg, jnp.where(inside, -BIG, BIG), t0)
+    t1 = jnp.where(deg, jnp.where(inside, BIG, -BIG), t1)
+    return t0, t1
+
+
+def _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a, cx, cy, cz, kc, *,
+               tmin, tmax, skip_tmax):
+    """shader.rint:44-60 on row data — the exact op order of
+    megakernel.block_hit (bit-parity contract)."""
+    cd = cx * dx + cy * dy + cz * dz
+    co = cx * ox + cy * oy + cz * oz
+    b = od - cd
+    c = oo - 2.0 * co + kc
+    disc = b * b - a * c
+    sq = jnp.sqrt(disc)  # NaN on miss; comparisons below then stay False
+    t1 = (-b - sq) * inv_a
+    t2 = (-b + sq) * inv_a
+    if skip_tmax:
+        t1_ok = t1 >= tmin
+        t2_ok = t2 >= tmin
+    else:
+        t1_ok = (t1 >= tmin) & (t1 <= tmax)
+        t2_ok = (t2 >= tmin) & (t2 <= tmax)
+    return jnp.where(t1_ok, t1, jnp.where(t2_ok, t2, BIG))
+
+
+def _iterate(st, acc, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
+             itab, atab, *, m_slots, n_lanes, p_total, width, max_depth,
+             tmin, tmax, skip_tmax, j_steps, cb, ab):
+    """One wavefront iteration: [start new segments] -> [J DDA steps] ->
+    [shade/accumulate/regen lanes whose segment completed]."""
+    (ox, oy, oz, dx, dy, dz, fx, fy, tx_, ty_, tz_,
+     t_b, t_end, t_nx, t_nz, bkey,
+     seed, mrow, sidx, depth, alive_i, march_i, icx, icz) = st
+    alive = alive_i != 0
+    marching = march_i != 0
+
+    spp_i = scal_ref[0, S_SPP]
+    number = scal_ref[0, S_NUMBER].astype(jnp.uint32)
+    y0 = scal_ref[0, S_Y0]
+    seed_y0 = scal_ref[0, S_SEEDY0]
+    offx = scal_ref[0, S_OFFX]
+
+    cminx = gscal_ref[0, G_CMINX]
+    cminz = gscal_ref[0, G_CMINZ]
+    cmaxx = gscal_ref[0, G_CMAXX]
+    cmaxz = gscal_ref[0, G_CMAXZ]
+    ncz = gscal_ref[0, G_NCZ]
+    cy_u = gscal_ref[0, G_CY]
+
+    a = dx * dx + dy * dy + dz * dz
+    od = ox * dx + oy * dy + oz * dz
+    oo = ox * ox + oy * oy + oz * oz
+    inv_a = 1.0 / a
+
+    # ---- segment start: global spheres + grid clip + DDA init -------------
+    need = alive & ~marching
+    t_b = jnp.where(need, BIG, t_b)
+    bkey = jnp.where(need, _TAG, bkey)
+    for k in range(gtab_ref.shape[0]):
+        tc = _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a,
+                        gtab_ref[k, 0], gtab_ref[k, 1], gtab_ref[k, 2],
+                        gtab_ref[k, 3], tmin=tmin, tmax=tmax,
+                        skip_tmax=skip_tmax)
+        upd = need & (tc < t_b)
+        t_b = jnp.where(upd, tc, t_b)
+        bkey = jnp.where(upd, _TAG + gtab_ref[k, 4], bkey)
+
+    t0x, t1x = _slab(ox, dx, gscal_ref[0, G_XLO], gscal_ref[0, G_XHI])
+    t0y, t1y = _slab(oy, dy, gscal_ref[0, G_YLO], gscal_ref[0, G_YHI])
+    t0z, t1z = _slab(oz, dz, gscal_ref[0, G_ZLO], gscal_ref[0, G_ZHI])
+    t_start = jnp.maximum(jnp.maximum(t0x, t0y), jnp.maximum(t0z, tmin))
+    t_end_n = jnp.minimum(jnp.minimum(t1x, t1y), t1z)
+    march0 = need & (t_start <= t_end_n) & (t_start < t_b)
+
+    px0 = ox + t_start * dx
+    pz0 = oz + t_start * dz
+    icx_n = jnp.clip(jnp.floor(px0 + 0.5), cminx, cmaxx)
+    icz_n = jnp.clip(jnp.floor(pz0 + 0.5), cminz, cmaxz)
+    bx = icx_n + jnp.where(dx >= 0, 0.5, -0.5)
+    bz = icz_n + jnp.where(dz >= 0, 0.5, -0.5)
+    t_nx_n = jnp.where(dx == 0.0, BIG, (bx - ox) / dx)
+    t_nz_n = jnp.where(dz == 0.0, BIG, (bz - oz) / dz)
+
+    t_end = jnp.where(need, t_end_n, t_end)
+    t_nx = jnp.where(march0, t_nx_n, t_nx)
+    t_nz = jnp.where(march0, t_nz_n, t_nz)
+    icx = jnp.where(march0, icx_n.astype(jnp.int32), icx)
+    icz = jnp.where(march0, icz_n.astype(jnp.int32), icz)
+    marching = marching | march0
+
+    # ---- DDA march: j_steps cells ------------------------------------------
+    step_x = jnp.where(dx >= 0, 1, -1)
+    step_z = jnp.where(dz >= 0, 1, -1)
+    dt_x = jnp.where(dx == 0.0, BIG, jnp.abs(1.0 / dx))
+    dt_z = jnp.where(dz == 0.0, BIG, jnp.abs(1.0 / dz))
+
+    for _ in range(j_steps):
+        cid = ((icx.astype(jnp.float32) - cminx) * ncz
+               + (icz.astype(jnp.float32) - cminz)).astype(jnp.int32)
+        vals = _gather_rows(ctab, cid, blocks=cb, n_vals=3 * N_SLOTS)
+        for s in range(N_SLOTS):
+            tc = _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a,
+                            vals[3 * s : 3 * s + 1, :], cy_u,
+                            vals[3 * s + 1 : 3 * s + 2, :],
+                            vals[3 * s + 2 : 3 * s + 3, :],
+                            tmin=tmin, tmax=tmax, skip_tmax=skip_tmax)
+            upd = marching & (tc < t_b)
+            t_b = jnp.where(upd, tc, t_b)
+            bkey = jnp.where(
+                upd, cid.astype(jnp.float32) * N_SLOTS + np.float32(s), bkey)
+        t_exit = jnp.minimum(t_nx, t_nz)
+        cont = marching & (t_exit < t_b) & (t_exit < t_end)
+        cross_x = t_nx <= t_nz
+        adv_x = cont & cross_x
+        adv_z = cont & ~cross_x
+        icx = jnp.where(
+            adv_x,
+            jnp.clip(icx + step_x, cminx.astype(jnp.int32), cmaxx.astype(jnp.int32)),
+            icx)
+        icz = jnp.where(
+            adv_z,
+            jnp.clip(icz + step_z, cminz.astype(jnp.int32), cmaxz.astype(jnp.int32)),
+            icz)
+        t_nx = jnp.where(adv_x, t_nx + dt_x, t_nx)
+        t_nz = jnp.where(adv_z, t_nz + dt_z, t_nz)
+        marching = cont
+
+    seg_done = alive & ~marching
+    hit = t_b < BIG
+
+    # ---- winner resolution: bkey -> sphere id -> 12 attr rows --------------
+    is_direct = bkey >= _TAG
+    ckey = bkey.astype(jnp.int32)
+    slot = ckey & (N_SLOTS - 1)
+    cid_w = ckey >> 2  # N_SLOTS == 4
+    ivals = _gather_rows(itab, cid_w, blocks=cb, n_vals=N_SLOTS)
+    idxf = ivals[0:1, :]
+    for s in range(1, N_SLOTS):
+        idxf = jnp.where(slot == s, ivals[s : s + 1, :], idxf)
+    bidx = jnp.where(is_direct, bkey - _TAG, idxf).astype(jnp.int32)
+    at = _gather_rows(atab, bidx, blocks=ab, n_vals=12)
+
+    cenx, ceny, cenz = at[0:1, :], at[1:2, :], at[2:3, :]
+    mat = at[3:4, :]
+    tex = at[4:5, :]
+    c0x, c0y, c0z = at[5:6, :], at[6:7, :], at[7:8, :]
+    c1x, c1y, c1z = at[8:9, :], at[9:10, :], at[10:11, :]
+    fuzz = at[11:12, :]
+    t = t_b
+
+    # ---- shading: shader.rchit (identical to megakernel._iterate) ---------
+    px_ = ox + t * dx
+    py_ = oy + t * dy
+    pz_ = oz + t * dz
+    nx, ny, nz = _norm3(px_ - cenx, py_ - ceny, pz_ - cenz)
+    ddn = nx * dx + ny * dy + nz * dz
+    front = ddn < 0.0
+    sgn = jnp.where(front, 1.0, -1.0)
+    nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
+
+    sines = jnp.sin(6.0 * px_) * jnp.sin(6.0 * py_) * jnp.sin(6.0 * pz_)
+    use_c1 = (tex > 0.5) & ~(sines > 0.0)
+    ax = jnp.where(use_c1, c1x, c0x)
+    ay = jnp.where(use_c1, c1y, c0y)
+    az = jnp.where(use_c1, c1z, c0z)
+
+    seed3, ux, uy, uz = rngops.random_unit_vector(seed)
+    seed1, refr_rand = rngops.random_float(seed)
+
+    sdx_d = nx + ux
+    sdy_d = ny + uy
+    sdz_d = nz + uz
+    near0 = (jnp.abs(sdx_d) < 1e-8) & (jnp.abs(sdy_d) < 1e-8) & (jnp.abs(sdz_d) < 1e-8)
+    ndd = nx * dx + ny * dy + nz * dz
+    sdx_d = jnp.where(near0, nx, sdx_d)
+    sdy_d = jnp.where(near0, ny, sdy_d)
+    sdz_d = jnp.where(near0, nz, sdz_d)
+
+    rx_ = dx - 2.0 * ndd * nx
+    ry_ = dy - 2.0 * ndd * ny
+    rz_ = dz - 2.0 * ndd * nz
+    mx = rx_ + fuzz * ux
+    my = ry_ + fuzz * uy
+    mz = rz_ + fuzz * uz
+    mx, my, mz = _norm3(mx, my, mz)
+    metal_scatters = (mx * nx + my * ny + mz * nz) > 0.0
+
+    eta = jnp.where(front, 1.0 / fuzz, fuzz)
+    cos_t = -(dx * nx + dy * ny + dz * nz)
+    can_refract = (eta * jnp.sqrt(1.0 - cos_t * cos_t)) <= 1.0
+    r0 = ((1.0 - eta) / (1.0 + eta)) ** 2
+    om = 1.0 - cos_t
+    om2 = om * om
+    reflectance = r0 + (1.0 - r0) * om2 * om2 * om
+    does_refract = can_refract & (reflectance < refr_rand)
+    k = 1.0 - eta * eta * (1.0 - ndd * ndd)
+    sqk = jnp.sqrt(jnp.maximum(k, 0.0))
+    fx_r = eta * dx - (eta * ndd + sqk) * nx
+    fy_r = eta * dy - (eta * ndd + sqk) * ny
+    fz_r = eta * dz - (eta * ndd + sqk) * nz
+    gx = jnp.where(does_refract, fx_r, rx_)
+    gy = jnp.where(does_refract, fy_r, ry_)
+    gz = jnp.where(does_refract, fz_r, rz_)
+
+    is_metal = (mat > 0.5) & (mat < 1.5)
+    is_refr = mat > 1.5
+    sdx = jnp.where(is_metal, mx, jnp.where(is_refr, gx, sdx_d))
+    sdy = jnp.where(is_metal, my, jnp.where(is_refr, gy, sdy_d))
+    sdz = jnp.where(is_metal, mz, jnp.where(is_refr, gz, sdz_d))
+    does_scatter = metal_scatters | ~is_metal
+    seed_h = jnp.where(is_refr, jnp.where(can_refract, seed1, seed), seed3)
+
+    # ---- termination & accumulation (shader.rgen:70-89) -------------------
+    scatters = hit & does_scatter
+    deep = (depth + 1) >= max_depth
+    cont_b = seg_done & scatters & ~deep
+    term = seg_done & ~cont_b
+    lx = jnp.where(hit, jnp.where(does_scatter, 0.0, ax), _SKY[0])
+    ly = jnp.where(hit, jnp.where(does_scatter, 0.0, ay), _SKY[1])
+    lz = jnp.where(hit, jnp.where(does_scatter, 0.0, az), _SKY[2])
+    cbx = jnp.where(term, tx_ * lx, 0.0)
+    cby = jnp.where(term, ty_ * ly, 0.0)
+    cbz = jnp.where(term, tz_ * lz, 0.0)
+
+    acc2 = list(acc)
+    for m in range(m_slots):
+        sel = term & (mrow == m)
+        acc2[3 * m + 0] = acc[3 * m + 0] + jnp.where(sel, cbx, 0.0)
+        acc2[3 * m + 1] = acc[3 * m + 1] + jnp.where(sel, cby, 0.0)
+        acc2[3 * m + 2] = acc[3 * m + 2] + jnp.where(sel, cbz, 0.0)
+
+    seed_a = jnp.where(seg_done & hit, seed_h, seed)
+
+    # ---- regen: next sample or next pixel ----------------------------------
+    more = term & (sidx < spp_i)
+    pix_done = term & ~more
+    m2 = mrow + pix_done.astype(jnp.int32)
+    pix2 = m2 * n_lanes + lane
+    valid2 = (m2 < m_slots) & (pix2 < p_total)
+    adv = pix_done & valid2
+    px2 = pix2 % width
+    py2 = pix2 // width
+    fx2 = (offx + px2).astype(jnp.float32)
+    fy2 = (y0 + py2).astype(jnp.float32)
+    fresh = rngops.tea_hash(
+        rngops.tea_hash(px2.astype(jnp.uint32), (seed_y0 + py2).astype(jnp.uint32)),
+        number,
+    )
+    regen = more | adv
+    seed_c = jnp.where(adv, fresh, seed_a)
+    fxn = jnp.where(adv, fx2, fx)
+    fyn = jnp.where(adv, fy2, fy)
+    seed_r, (cox, coy, coz), (cdx, cdy, cdz) = _camera_rays_rows(seed_c, fxn, fyn, vpr_ref)
+
+    bx_, by_, bz_ = _norm3(sdx, sdy, sdz)
+
+    st2 = (
+        jnp.where(cont_b, px_, jnp.where(regen, cox, ox)),
+        jnp.where(cont_b, py_, jnp.where(regen, coy, oy)),
+        jnp.where(cont_b, pz_, jnp.where(regen, coz, oz)),
+        jnp.where(cont_b, bx_, jnp.where(regen, cdx, dx)),
+        jnp.where(cont_b, by_, jnp.where(regen, cdy, dy)),
+        jnp.where(cont_b, bz_, jnp.where(regen, cdz, dz)),
+        fxn,
+        fyn,
+        jnp.where(cont_b, tx_ * ax, jnp.where(regen, 1.0, tx_)),
+        jnp.where(cont_b, ty_ * ay, jnp.where(regen, 1.0, ty_)),
+        jnp.where(cont_b, tz_ * az, jnp.where(regen, 1.0, tz_)),
+        t_b,
+        t_end,
+        t_nx,
+        t_nz,
+        bkey,
+        jnp.where(seg_done, jnp.where(regen, seed_r, seed_a), seed),
+        m2,
+        jnp.where(adv, 1, sidx + more.astype(jnp.int32)),
+        jnp.where(cont_b, depth + 1, jnp.where(regen, 0, depth)),
+        (marching | (seg_done & (cont_b | regen))).astype(jnp.int32),
+        marching.astype(jnp.int32),
+        icx,
+        icz,
+    )
+    return st2, acc2
+
+
+def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab_ref, itab_ref,
+            atab_ref, fin_ref, uin_ref, fout_ref, uout_ref, *, m_slots,
+            n_lanes, p_total, width, max_depth, tmin, tmax, k_steps, j_steps,
+            skip_tmax, cb, ab):
+    lane = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
+        + pl.program_id(0) * TILE
+    )
+    ctab = ctab_ref[:, :]
+    itab = itab_ref[:, :]
+    atab = atab_ref[:, :]
+
+    st = (
+        *_vec3(fin_ref, R_O),
+        *_vec3(fin_ref, R_D),
+        fin_ref[R_FX : R_FX + 1, :],
+        fin_ref[R_FY : R_FY + 1, :],
+        *_vec3(fin_ref, R_THR),
+        fin_ref[R_TB : R_TB + 1, :],
+        fin_ref[R_TE : R_TE + 1, :],
+        fin_ref[R_TNX : R_TNX + 1, :],
+        fin_ref[R_TNZ : R_TNZ + 1, :],
+        fin_ref[R_BKEY : R_BKEY + 1, :],
+        uin_ref[U_SEED : U_SEED + 1, :],
+        uin_ref[U_M : U_M + 1, :].astype(jnp.int32),
+        uin_ref[U_SIDX : U_SIDX + 1, :].astype(jnp.int32),
+        uin_ref[U_DEPTH : U_DEPTH + 1, :].astype(jnp.int32),
+        (uin_ref[U_ALIVE : U_ALIVE + 1, :] != 0).astype(jnp.int32),
+        (uin_ref[U_MARCH : U_MARCH + 1, :] != 0).astype(jnp.int32),
+        uin_ref[U_ICX : U_ICX + 1, :].astype(jnp.int32),
+        uin_ref[U_ICZ : U_ICZ + 1, :].astype(jnp.int32),
+    )
+    acc = [fin_ref[R_ACC + i : R_ACC + i + 1, :] for i in range(3 * m_slots)]
+
+    step = functools.partial(
+        _iterate, lane=lane, scal_ref=scal_ref, vpr_ref=vpr_ref,
+        gscal_ref=gscal_ref, gtab_ref=gtab_ref, ctab=ctab, itab=itab,
+        atab=atab, m_slots=m_slots, n_lanes=n_lanes, p_total=p_total,
+        width=width, max_depth=max_depth, tmin=tmin, tmax=tmax,
+        skip_tmax=skip_tmax, j_steps=j_steps, cb=cb, ab=ab,
+    )
+
+    def body(_, carry):
+        st, acc = carry
+        return step(st, acc)
+
+    st, acc = jax.lax.fori_loop(0, k_steps, body, (st, acc))
+
+    (ox, oy, oz, dx, dy, dz, fx, fy, tx_, ty_, tz_,
+     t_b, t_end, t_nx, t_nz, bkey,
+     seed, mrow, sidx, depth, alive, march, icx, icz) = st
+    for i, v in enumerate((ox, oy, oz, dx, dy, dz, fx, fy, tx_, ty_, tz_,
+                           t_b, t_end, t_nx, t_nz, bkey)):
+        fout_ref[i : i + 1, :] = v
+    for i in range(3 * m_slots):
+        fout_ref[R_ACC + i : R_ACC + i + 1, :] = acc[i]
+    rf = f_rows(m_slots)
+    tail0 = R_ACC + 3 * m_slots
+    if tail0 < rf:
+        fout_ref[tail0:rf, :] = fin_ref[tail0:rf, :]
+
+    uout_ref[U_SEED : U_SEED + 1, :] = seed
+    uout_ref[U_M : U_M + 1, :] = mrow.astype(jnp.uint32)
+    uout_ref[U_SIDX : U_SIDX + 1, :] = sidx.astype(jnp.uint32)
+    uout_ref[U_DEPTH : U_DEPTH + 1, :] = depth.astype(jnp.uint32)
+    uout_ref[U_ALIVE : U_ALIVE + 1, :] = alive.astype(jnp.uint32)
+    uout_ref[U_MARCH : U_MARCH + 1, :] = march.astype(jnp.uint32)
+    uout_ref[U_ICX : U_ICX + 1, :] = icx.astype(jnp.uint32)
+    uout_ref[U_ICZ : U_ICZ + 1, :] = icz.astype(jnp.uint32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "m_slots", "n_lanes", "p_total", "width", "max_depth", "k_steps",
+        "j_steps", "skip_tmax", "interpret",
+    ),
+)
+def grid_megakernel_step(scal, vpr, gscal, gtab, ctab, itab, atab, fstate,
+                         ustate, *, m_slots, n_lanes, p_total, width,
+                         max_depth, k_steps=K_STEPS, j_steps=J_STEPS,
+                         skip_tmax=False, interpret=False):
+    """``k_steps`` grid-traced wavefront iterations over all lanes."""
+    n_pad = fstate.shape[1]
+    rf = f_rows(m_slots)
+    grid = n_pad // TILE
+    cb = ctab.shape[0] // (3 * N_SLOTS)
+    ab = atab.shape[0] // 12
+    kernel = functools.partial(
+        _kernel, m_slots=m_slots, n_lanes=n_lanes, p_total=p_total,
+        width=width, max_depth=max_depth, tmin=np.float32(config.T_MIN),
+        tmax=np.float32(config.MAX_RAY_COLLISION_DISTANCE), k_steps=k_steps,
+        j_steps=j_steps, skip_tmax=skip_tmax, cb=cb, ab=ab,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scal (1, 8) i32
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # vpr (1, 24) f32
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # gscal (1, 16) f32
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # gtab (8, 8) f32
+            pl.BlockSpec(ctab.shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(itab.shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(atab.shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rf, TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((U_ROWS, TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rf, TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((U_ROWS, TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rf, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((U_ROWS, n_pad), jnp.uint32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(scal, vpr, gscal, gtab, ctab, itab, atab, fstate, ustate)

@@ -76,6 +76,8 @@ class DeviceScene(NamedTuple):
     color1: jnp.ndarray  # [S,3] f32
     attr: jnp.ndarray  # [S] f32
     table: jnp.ndarray  # [S,24] packed table for the Pallas kernel
+    grid: object = None  # models.grid.GridTables when the scene fits the
+    #                      uniform-grid acceleration structure, else None
 
 
 class ViewportArrays(NamedTuple):
@@ -94,6 +96,7 @@ class ViewportArrays(NamedTuple):
 
 def prepare_scene(scene: SceneArrays) -> DeviceScene:
     """Host-side scene prep: SoA -> device layout with matmul precomputes."""
+    from ..models.grid import build_grid
     from .pallas_intersect import sphere_table
 
     centers = np.asarray(scene.centers, np.float32)
@@ -101,6 +104,7 @@ def prepare_scene(scene: SceneArrays) -> DeviceScene:
     n = int(scene.n_spheres)
     s = centers.shape[0]
     valid = np.arange(s) < n
+    table = sphere_table(scene)
     return DeviceScene(
         centers=centers,
         centers_t=np.ascontiguousarray(centers.T),
@@ -112,7 +116,8 @@ def prepare_scene(scene: SceneArrays) -> DeviceScene:
         color0=np.asarray(scene.color0, np.float32),
         color1=np.asarray(scene.color1, np.float32),
         attr=np.asarray(scene.attr, np.float32),
-        table=sphere_table(scene),
+        table=table,
+        grid=build_grid(scene, table),
     )
 
 
@@ -253,12 +258,12 @@ def render_band_core(
     through ~20.  Per-pixel RNG streams and results are IDENTICAL for any M
     (lane scheduling never reorders a pixel's sequential samples).
     """
-    if backend == "mega":
+    if backend in ("mega", "grid"):
         return _render_band_mega(
             scene, vp, band_h=band_h, width=width, y0=y0, seed_y0=seed_y0,
             offset_x=offset_x, spp=spp, number=number, accum_init=accum_init,
             max_depth=max_depth, pixels_per_lane=pixels_per_lane,
-            skip_tmax=skip_tmax, return_iters=return_iters)
+            skip_tmax=skip_tmax, return_iters=return_iters, backend=backend)
 
     p_total = band_h * width
     m_slots = max(1, min(pixels_per_lane, p_total))
@@ -391,17 +396,28 @@ def render_band_core(
 
 def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
                       number, accum_init, max_depth, pixels_per_lane,
-                      skip_tmax, return_iters):
-    """Megakernel driver: whole loop body in one Pallas call per iteration
-    (ops/megakernel.py); state in row-major [rows, lanes] arrays so the host
-    loop does zero layout conversion.  Semantics identical to the generic
-    path (same RNG streams, same scheduling)."""
-    from . import megakernel as mk
+                      skip_tmax, return_iters, backend="mega"):
+    """Megakernel driver: whole loop body in one Pallas call per iteration;
+    state in row-major [rows, lanes] arrays so the host loop does zero layout
+    conversion.  Semantics identical to the generic path (same RNG streams,
+    same scheduling).  backend="mega" brute-forces the sphere table
+    (ops/megakernel.py); backend="grid" runs the uniform-grid DDA traversal
+    (ops/gridkernel.py — requires scene.grid tables) with bit-identical
+    results."""
+    from . import megakernel as mega_mod
+
+    if backend == "grid":
+        from . import gridkernel as mk
+
+        if scene.grid is None:
+            raise ValueError("grid backend requires a grid-able scene")
+    else:
+        mk = mega_mod
 
     p_total = band_h * width
     m_slots = max(1, min(pixels_per_lane, p_total))
     n = -(-p_total // m_slots)  # logical lanes
-    n_pad = -(-n // mk.TILE) * mk.TILE
+    n_pad = -(-n // mega_mod.TILE) * mega_mod.TILE
     rf = mk.f_rows(m_slots)
 
     lane = jnp.arange(n_pad, dtype=jnp.int32)
@@ -449,21 +465,33 @@ def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
             vp.size, jnp.zeros((3,), jnp.float32),
         ]
     ).reshape(1, 24)
-    atab = scene.table[:, 8:24].T
-
     interpret = jax.default_backend() != "tpu"
 
     def cond(st):
         return jnp.any(st[1][mk.U_ALIVE] != 0)
 
-    def body(st):
-        f, u, it = st
-        f2, u2 = mk.megakernel_step(
-            scal, vpr, scene.table, atab, f, u,
-            m_slots=m_slots, n_lanes=n, p_total=p_total, width=width,
-            max_depth=max_depth, skip_tmax=skip_tmax, interpret=interpret,
-        )
-        return (f2, u2, it + mk.K_STEPS)
+    if backend == "grid":
+        g = scene.grid
+
+        def body(st):
+            f, u, it = st
+            f2, u2 = mk.grid_megakernel_step(
+                scal, vpr, g.gscal, g.gtab, g.ctab, g.itab, g.atab, f, u,
+                m_slots=m_slots, n_lanes=n, p_total=p_total, width=width,
+                max_depth=max_depth, skip_tmax=skip_tmax, interpret=interpret,
+            )
+            return (f2, u2, it + mk.K_STEPS)
+    else:
+        atab = scene.table[:, 8:24].T
+
+        def body(st):
+            f, u, it = st
+            f2, u2 = mk.megakernel_step(
+                scal, vpr, scene.table, atab, f, u,
+                m_slots=m_slots, n_lanes=n, p_total=p_total, width=width,
+                max_depth=max_depth, skip_tmax=skip_tmax, interpret=interpret,
+            )
+            return (f2, u2, it + mk.K_STEPS)
 
     fstate, ustate, iters = jax.lax.while_loop(
         cond, body, (fstate, ustate, jnp.int32(0))

@@ -33,7 +33,7 @@ from ..models.scene import SceneArrays, generate_random_scene
 from ..ops import image as imageops
 from ..ops.trace import (prepare_scene, render_band, tmax_never_binds,
                          viewport_arrays)
-from ..runtime.renderer import config_camera, pick_backend
+from ..runtime.renderer import config_camera, resolve_backend
 from ..runtime.tuner import make_tuner
 
 
@@ -49,7 +49,6 @@ class HeteroRenderer:
         tuner_seed: int = 0x9E3779B97F4A7C15,
     ):
         self.config = config
-        self.backend = pick_backend(config.backend)
         self.scene = scene if scene is not None else generate_random_scene(config.scene_time)
         self.devices = list(devices) if devices is not None else jax.devices()[: config.chips]
         self.n = len(self.devices)
@@ -60,6 +59,7 @@ class HeteroRenderer:
         self.rows: List[int] = [base + (h - base * self.n if i == 0 else 0) for i in range(self.n)]
         self.tuner = make_tuner(h, self.n, tuner_seed)
         ds = prepare_scene(self.scene)
+        self.backend = resolve_backend(config.backend, ds)
         self.device_scenes = [jax.device_put(ds, d) for d in self.devices]
         self.vp = viewport_arrays(config_camera(config), config.width, config.height)
         self.skip_tmax = tmax_never_binds(self.scene, config_camera(config))

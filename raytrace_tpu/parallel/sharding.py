@@ -32,7 +32,7 @@ from ..models.scene import SceneArrays, generate_random_scene
 from ..ops import image as imageops
 from ..ops.trace import (prepare_scene, render_band_core, tmax_never_binds,
                          viewport_arrays)
-from ..runtime.renderer import config_camera, pick_backend
+from ..runtime.renderer import config_camera, resolve_backend
 
 
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:
@@ -55,9 +55,9 @@ class MultiChipRenderer:
         reference_banding: bool = False,
     ):
         self.config = config
-        self.backend = pick_backend(config.backend)
         self.scene = scene if scene is not None else generate_random_scene(config.scene_time)
         self.device_scene = prepare_scene(self.scene)
+        self.backend = resolve_backend(config.backend, self.device_scene)
         self.mesh = mesh if mesh is not None else make_mesh(min(config.chips, len(jax.devices())))
         self.n = self.mesh.devices.size
         self.reference_banding = reference_banding

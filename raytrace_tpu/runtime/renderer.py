@@ -33,7 +33,8 @@ from ..ops.trace import (DeviceScene, prepare_scene, render_band,
 # [N, S] intersection intermediates drive the lane count for the XLA backends;
 # the Pallas backend never materializes them and can take far larger bands.
 _TARGET_LANES = {
-    "bruteforce": 1 << 14, "matmul": 1 << 18, "pallas": 1 << 19, "mega": 1 << 21,
+    "bruteforce": 1 << 14, "matmul": 1 << 18, "pallas": 1 << 19,
+    "mega": 1 << 21, "grid": 1 << 21,
 }
 
 
@@ -63,14 +64,24 @@ def pick_backend(requested: str = "auto") -> str:
     return "mega" if jax.default_backend() == "tpu" else "matmul"
 
 
+def resolve_backend(requested: str, device_scene) -> str:
+    """Scene-aware backend choice: the grid-DDA megakernel (the acceleration
+    structure, ops/gridkernel.py) whenever auto resolves to the megakernel
+    and the scene fits the uniform grid; brute force otherwise."""
+    b = pick_backend(requested)
+    if b == "mega" and requested == "auto" and device_scene.grid is not None:
+        return "grid"
+    return b
+
+
 class Renderer:
     """Renders full frames for one logical device (one band = one jit call)."""
 
     def __init__(self, config: RenderConfig, scene: Optional[SceneArrays] = None):
         self.config = config
-        self.backend = pick_backend(config.backend)
         self.scene = scene if scene is not None else generate_random_scene(config.scene_time)
         self.device_scene: DeviceScene = prepare_scene(self.scene)
+        self.backend = resolve_backend(config.backend, self.device_scene)
         w, h = config.width, config.height
         # wavefront M: average path-length variance across M strided pixels
         # per lane (see trace.py); 1 for small images so tests stay tiny
@@ -89,6 +100,7 @@ class Renderer:
     def set_scene(self, scene: SceneArrays) -> None:
         self.scene = scene
         self.device_scene = prepare_scene(scene)
+        self.backend = resolve_backend(self.config.backend, self.device_scene)
 
     def render_call(self, spp: int, number: int = 0, accum=None):
         """One render call (= one traceRaysKHR dispatch): spp samples/pixel.
