@@ -49,6 +49,15 @@ def main() -> int:
     # return early through TPU relay transports)
     np.asarray(r.render_call(4))
 
+    # compiled-kernel numerics vs the CPU-oracle golden, recorded in the
+    # bench JSON (the hardware numeric check is a per-run artifact)
+    from raytrace_tpu.runtime.validation import golden_check
+
+    try:
+        numeric_check = golden_check(r.backend)
+    except Exception as e:  # never let validation sink the bench number
+        numeric_check = {"backend": r.backend, "ok": False, "error": str(e)[:200]}
+
     # timed probe to estimate throughput; large enough that the wavefront
     # tail (which amortizes with spp) doesn't skew the extrapolation
     probe_spp = int(os.environ.get("BENCH_PROBE_SPP", 256))
@@ -85,6 +94,7 @@ def main() -> int:
                 "samples_per_sec": round(sps, 0),
                 "measured": measured,
                 "backend": r.backend,
+                "numeric_check": numeric_check,
                 "device": str(jax.devices()[0]),
             }
         )

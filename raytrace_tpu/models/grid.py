@@ -48,9 +48,12 @@ class GridTables(NamedTuple):
     #                   v = slot*3 + {0:cx, 1:cz, 2:kc}
     itab: np.ndarray  # [N_SLOTS*CB, 128] candidate global sphere index,
     #                   row (slot*CB+cb); empty slots carry 0 (never win)
-    atab: np.ndarray  # [12*AB, 128] per-sphere shading attrs, row (v*AB+ab):
-    #                   v in (cx,cy,cz,mat,tex,c0*3,c1*3,attr)
-    gtab: np.ndarray  # [8, 8] global spheres: cx,cy,cz,kc,idx,0,0,0 (SMEM)
+    atab: np.ndarray  # [5*AB, 128] per-sphere shading attrs, row (v*AB+ab):
+    #                   v in (mat, c0.rgb, attr).  Winner centers are carried
+    #                   by the kernel (grid) or selected from gtab (globals);
+    #                   tex/c1 exist only on globals (builder requirement)
+    gtab: np.ndarray  # [Gp, 16] globals (SMEM):
+    #                   cx,cy,cz,kc,idx,mat,tex,c0.rgb,c1.rgb,attr,0,0
     gscal: np.ndarray  # [1, 16] f32 scalars: xlo,xhi,ylo,yhi,zlo,zhi,
     #                    cminx,cminz,ncz_f,cy_uniform,cmaxx,cmaxz
     # (cell/attr block counts are derived from ctab/atab shapes — the tuple
@@ -89,6 +92,8 @@ def build_grid(scene, table: np.ndarray) -> Optional[GridTables]:
     cy = centers[s_idx, 1]
     if not np.all(cy == cy[0]):
         return None  # kernel specializes on a uniform field height
+    if np.any(np.asarray(scene.texture)[s_idx] != 0):
+        return None  # checker (c1) texture is supported on globals only
 
     cx, cz = centers[s_idx, 0], centers[s_idx, 2]
     r = radii[s_idx]
@@ -147,24 +152,32 @@ def build_grid(scene, table: np.ndarray) -> Optional[GridTables]:
             ctab[(s * 3 + 2) * cb + b] = slots_kc[s, sl]
             itab[s * cb + b] = slots_id[s, sl]
 
-    # attrs by global sphere id (megakernel attr row order):
-    # cx,cy,cz,mat,tex,c0r,c0g,c0b,c1r,c1g,c1b,attr  (= table cols 8..19)
+    # attrs by global sphere id: mat, c0.rgb, attr (table cols 11, 13:16, 19)
     s_tot = table.shape[0]
     ab = -(-s_tot // CELL_LANES)
     ids_pad = ab * CELL_LANES
-    attrs = np.zeros((12, ids_pad), np.float32)
-    attrs[:, :s_tot] = table[:, 8:20].T
-    atab = np.zeros((12 * ab, CELL_LANES), np.float32)
-    for v in range(12):
+    attrs = np.zeros((5, ids_pad), np.float32)
+    attrs[0, :s_tot] = table[:, 11]  # mat
+    attrs[1:4, :s_tot] = table[:, 13:16].T  # c0
+    attrs[4, :s_tot] = table[:, 19]  # attr (fuzz / refraction index)
+    atab = np.zeros((5 * ab, CELL_LANES), np.float32)
+    for v in range(5):
         for b in range(ab):
             atab[v * ab + b] = attrs[v, b * CELL_LANES : (b + 1) * CELL_LANES]
 
-    gtab = np.zeros((MAX_GLOBALS, 8), np.float32)
+    g_pad = max(4, len(g_idx))
+    gtab = np.zeros((g_pad, 16), np.float32)
     gtab[:, 3] = POISON  # padding rows never hit
+    gtab[:, 4] = -2.0  # padding idx matches no winner (real ids are >= 0)
     for k, sphere in enumerate(g_idx):
         gtab[k, 0:3] = centers[sphere]
         gtab[k, 3] = kc[sphere]
         gtab[k, 4] = np.float32(sphere)
+        gtab[k, 5] = np.float32(scene.material[sphere])
+        gtab[k, 6] = np.float32(scene.texture[sphere])
+        gtab[k, 7:10] = np.asarray(scene.color0[sphere], np.float32)
+        gtab[k, 10:13] = np.asarray(scene.color1[sphere], np.float32)
+        gtab[k, 13] = np.float32(scene.attr[sphere])
 
     y_lo = np.float32((cy - radii[s_idx]).min() - DELTA)
     y_hi = np.float32((cy + radii[s_idx]).max() + DELTA)

@@ -52,20 +52,41 @@ from ..models.grid import (G_CMAXX, G_CMAXZ, G_CMINX, G_CMINZ, G_CY, G_NCZ,
                            G_XHI, G_XLO, G_YHI, G_YLO, G_ZHI, G_ZLO, N_SLOTS)
 from . import rng as rngops
 from .intersect import BIG
-from .megakernel import (_SKY, S_NUMBER, S_OFFX, S_SEEDY0, S_SPP, S_Y0, TILE,
+from .megakernel import (_SKY, S_NUMBER, S_OFFX, S_SEEDY0, S_SPP, S_Y0,
                          _camera_rays_rows, _norm3, _vec3)
 
+# Lanes per grid step.  Unlike the brute-force megakernel (whose [S, T]
+# intersect blocks span many vregs per op), ALL of this kernel's row ops are
+# [1, TILE]: at TILE=1024 each op is a single (8,128)-packed vreg and the
+# VPU sits idle on dependency-chain latency (measured: duplicating whole
+# gather sections cost ~0%).  Wider tiles issue TILE/1024 vregs per op,
+# hiding latency behind throughput.
+TILE = 4096
 K_STEPS = 10  # wavefront iterations per kernel invocation
-J_STEPS = 3  # DDA cell steps per wavefront iteration
+J_STEPS = 1  # DDA cell steps per wavefront iteration
 
-# f32 state rows
+# f32 state rows.  R_CUR is the running color sum of the lane's CURRENT
+# pixel; it is flushed into the pixel's acc slot only when the lane advances
+# to its next pixel (rare), so the per-iteration accumulation is 3 masked
+# adds instead of a 3*M-row select loop, and the acc rows live in the
+# (input/output-aliased) state ref rather than in loop carries.
 R_O, R_D, R_FX, R_FY, R_THR = 0, 3, 6, 7, 8
-R_TB, R_TE, R_TNX, R_TNZ, R_BKEY, R_ACC = 11, 12, 13, 14, 15, 16
+R_TB, R_TE, R_TNX, R_TNZ, R_BKEY = 11, 12, 13, 14, 15
+R_WCX, R_WCZ = 16, 17  # winning grid candidate's center (x, z)
+R_CUR, R_ACC = 18, 21
+R_HDR = 21  # header rows (everything before the acc slots)
 # u32 state rows
 U_SEED, U_M, U_SIDX, U_DEPTH, U_ALIVE, U_MARCH, U_ICX, U_ICZ = range(8)
 U_ROWS = 8
 
 _TAG = np.float32(4096.0)  # bkey values >= _TAG are direct sphere ids
+
+# perf-ablation switches (scripts/grid_ablate.py): additive duplication of
+# kernel sections to attribute device time; plumbed as a STATIC jit arg so
+# each variant compiles its own program (a module-global read at trace time
+# would cache-collide across variants).  Images are unchanged (never-taken
+# selects), cost is the only observable.
+ABLATE: frozenset = frozenset()  # default for production paths
 
 
 def f_rows(m_slots: int) -> int:
@@ -138,13 +159,17 @@ def _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a, cx, cy, cz, kc, *,
     return jnp.where(t1_ok, t1, jnp.where(t2_ok, t2, BIG))
 
 
-def _iterate(st, acc, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
+def _iterate(st, acc_ref, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
              itab, atab, *, m_slots, n_lanes, p_total, width, max_depth,
-             tmin, tmax, skip_tmax, j_steps, cb, ab):
+             tmin, tmax, skip_tmax, j_steps, cb, ab, ablate):
     """One wavefront iteration: [start new segments] -> [J DDA steps] ->
-    [shade/accumulate/regen lanes whose segment completed]."""
+    [shade/accumulate/regen lanes whose segment completed].
+
+    ``acc_ref`` is the aliased state ref holding the 3*M acc rows; they are
+    read-modify-written only on iterations where some lane advances pixels.
+    """
     (ox, oy, oz, dx, dy, dz, fx, fy, tx_, ty_, tz_,
-     t_b, t_end, t_nx, t_nz, bkey,
+     t_b, t_end, t_nx, t_nz, bkey, wcx, wcz, cr_, cg_, cb2_,
      seed, mrow, sidx, depth, alive_i, march_i, icx, icz) = st
     alive = alive_i != 0
     marching = march_i != 0
@@ -171,14 +196,21 @@ def _iterate(st, acc, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
     need = alive & ~marching
     t_b = jnp.where(need, BIG, t_b)
     bkey = jnp.where(need, _TAG, bkey)
-    for k in range(gtab_ref.shape[0]):
-        tc = _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a,
-                        gtab_ref[k, 0], gtab_ref[k, 1], gtab_ref[k, 2],
-                        gtab_ref[k, 3], tmin=tmin, tmax=tmax,
-                        skip_tmax=skip_tmax)
-        upd = need & (tc < t_b)
-        t_b = jnp.where(upd, tc, t_b)
-        bkey = jnp.where(upd, _TAG + gtab_ref[k, 4], bkey)
+    reps = 2 if "global2" in ablate else 1  # additive cost probe
+    for rep in range(reps):
+        last = rep == reps - 1
+        for k in range(gtab_ref.shape[0]):
+            tc = _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a,
+                            gtab_ref[k, 0], gtab_ref[k, 1], gtab_ref[k, 2],
+                            gtab_ref[k, 3] + (0.0 if last else 1.0),
+                            tmin=tmin, tmax=tmax, skip_tmax=skip_tmax)
+            if last:
+                upd = need & (tc < t_b)
+                t_b = jnp.where(upd, tc, t_b)
+                bkey = jnp.where(upd, _TAG + gtab_ref[k, 4], bkey)
+            else:
+                never = (seed == jnp.uint32(0xFFFFFFFF)) & (tc < -1.0)
+                t_b = jnp.where(never, tc, t_b)
 
     t0x, t1x = _slab(ox, dx, gscal_ref[0, G_XLO], gscal_ref[0, G_XHI])
     t0y, t1y = _slab(oy, dy, gscal_ref[0, G_YLO], gscal_ref[0, G_YHI])
@@ -213,6 +245,10 @@ def _iterate(st, acc, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
         cid = ((icx.astype(jnp.float32) - cminx) * ncz
                + (icz.astype(jnp.float32) - cminz)).astype(jnp.int32)
         vals = _gather_rows(ctab, cid, blocks=cb, n_vals=3 * N_SLOTS)
+        if "fetch2" in ablate:  # additive cost probe: duplicate the fetch
+            v2 = _gather_rows(ctab, cid + 1, blocks=cb, n_vals=3 * N_SLOTS)
+            never = (seed == jnp.uint32(0xFFFFFFFF)) & (cid < -1)
+            vals = jnp.where(never, v2, vals)
         for s in range(N_SLOTS):
             tc = _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a,
                             vals[3 * s : 3 * s + 1, :], cy_u,
@@ -223,6 +259,8 @@ def _iterate(st, acc, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
             t_b = jnp.where(upd, tc, t_b)
             bkey = jnp.where(
                 upd, cid.astype(jnp.float32) * N_SLOTS + np.float32(s), bkey)
+            wcx = jnp.where(upd, vals[3 * s : 3 * s + 1, :], wcx)
+            wcz = jnp.where(upd, vals[3 * s + 1 : 3 * s + 2, :], wcz)
         t_exit = jnp.minimum(t_nx, t_nz)
         cont = marching & (t_exit < t_b) & (t_exit < t_end)
         cross_x = t_nx <= t_nz
@@ -253,14 +291,42 @@ def _iterate(st, acc, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
     for s in range(1, N_SLOTS):
         idxf = jnp.where(slot == s, ivals[s : s + 1, :], idxf)
     bidx = jnp.where(is_direct, bkey - _TAG, idxf).astype(jnp.int32)
-    at = _gather_rows(atab, bidx, blocks=ab, n_vals=12)
+    at = _gather_rows(atab, bidx, blocks=ab, n_vals=5)
+    if "resolve2" in ablate:  # additive cost probe: duplicate itab+atab
+        iv2 = _gather_rows(itab, cid_w + 1, blocks=cb, n_vals=N_SLOTS)
+        at2 = _gather_rows(atab, bidx + 1, blocks=ab, n_vals=5)
+        never = (seed == jnp.uint32(0xFFFFFFFF)) & (ckey < -1)
+        at = jnp.where(never, at2 + iv2[0:1, :], at)
 
-    cenx, ceny, cenz = at[0:1, :], at[1:2, :], at[2:3, :]
-    mat = at[3:4, :]
-    tex = at[4:5, :]
-    c0x, c0y, c0z = at[5:6, :], at[6:7, :], at[7:8, :]
-    c1x, c1y, c1z = at[8:9, :], at[9:10, :], at[10:11, :]
-    fuzz = at[11:12, :]
+    mat = at[0:1, :]
+    c0x, c0y, c0z = at[1:2, :], at[2:3, :], at[3:4, :]
+    fuzz = at[4:5, :]
+    # center / tex / c1: carried (grid winners) or selected from the tiny
+    # global table (<= a handful of rows; tex/c1 exist only on globals)
+    bidx_f = jnp.where(is_direct, bkey - _TAG, np.float32(-1.0))
+    gcx = jnp.full_like(t_b, gtab_ref[0, 0])
+    gcy = jnp.full_like(t_b, gtab_ref[0, 1])
+    gcz = jnp.full_like(t_b, gtab_ref[0, 2])
+    gtex = jnp.full_like(t_b, gtab_ref[0, 6])
+    gc1x = jnp.full_like(t_b, gtab_ref[0, 10])
+    gc1y = jnp.full_like(t_b, gtab_ref[0, 11])
+    gc1z = jnp.full_like(t_b, gtab_ref[0, 12])
+    for k in range(1, gtab_ref.shape[0]):
+        sel = bidx_f == gtab_ref[k, 4]
+        gcx = jnp.where(sel, gtab_ref[k, 0], gcx)
+        gcy = jnp.where(sel, gtab_ref[k, 1], gcy)
+        gcz = jnp.where(sel, gtab_ref[k, 2], gcz)
+        gtex = jnp.where(sel, gtab_ref[k, 6], gtex)
+        gc1x = jnp.where(sel, gtab_ref[k, 10], gc1x)
+        gc1y = jnp.where(sel, gtab_ref[k, 11], gc1y)
+        gc1z = jnp.where(sel, gtab_ref[k, 12], gc1z)
+    cenx = jnp.where(is_direct, gcx, wcx)
+    ceny = jnp.where(is_direct, gcy, gscal_ref[0, G_CY])
+    cenz = jnp.where(is_direct, gcz, wcz)
+    tex = jnp.where(is_direct, gtex, 0.0)
+    c1x = jnp.where(is_direct, gc1x, 0.0)
+    c1y = jnp.where(is_direct, gc1y, 0.0)
+    c1z = jnp.where(is_direct, gc1z, 0.0)
     t = t_b
 
     # ---- shading: shader.rchit (identical to megakernel._iterate) ---------
@@ -325,6 +391,19 @@ def _iterate(st, acc, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
     does_scatter = metal_scatters | ~is_metal
     seed_h = jnp.where(is_refr, jnp.where(can_refract, seed1, seed), seed3)
 
+    if "shade2" in ablate:  # additive cost probe: re-run the scatter math
+        nx2, ny2, nz2 = _norm3(px_ - cenx + 1.0, py_ - ceny, pz_ - cenz)
+        s2 = jnp.sin(6.0 * px_ + 1.0) * jnp.sin(6.0 * py_) * jnp.sin(6.0 * pz_)
+        m2x = (dx - 2.0 * (nx2 * dx) * nx2) + fuzz * ux
+        e2 = jnp.where(front, 1.0 / (fuzz + 1.0), fuzz)
+        c2 = -(dx * nx2 + dy * ny2 + dz * nz2)
+        cr2 = (e2 * jnp.sqrt(1.0 - c2 * c2)) <= 1.0
+        r02 = ((1.0 - e2) / (1.0 + e2)) ** 2
+        k2 = 1.0 - e2 * e2 * (1.0 - c2 * c2)
+        probe = s2 + m2x + r02 + jnp.sqrt(jnp.maximum(k2, 0.0))
+        never = (seed == jnp.uint32(0xFFFFFFFF)) & cr2 & (probe < -1e30)
+        sdx = jnp.where(never, probe, sdx)
+
     # ---- termination & accumulation (shader.rgen:70-89) -------------------
     scatters = hit & does_scatter
     deep = (depth + 1) >= max_depth
@@ -337,18 +416,32 @@ def _iterate(st, acc, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
     cby = jnp.where(term, ty_ * ly, 0.0)
     cbz = jnp.where(term, tz_ * lz, 0.0)
 
-    acc2 = list(acc)
-    for m in range(m_slots):
-        sel = term & (mrow == m)
-        acc2[3 * m + 0] = acc[3 * m + 0] + jnp.where(sel, cbx, 0.0)
-        acc2[3 * m + 1] = acc[3 * m + 1] + jnp.where(sel, cby, 0.0)
-        acc2[3 * m + 2] = acc[3 * m + 2] + jnp.where(sel, cbz, 0.0)
+    # accumulate into the lane's current-pixel sum (3 masked adds)
+    cur_x = cr_ + cbx
+    cur_y = cg_ + cby
+    cur_z = cb2_ + cbz
 
     seed_a = jnp.where(seg_done & hit, seed_h, seed)
 
     # ---- regen: next sample or next pixel ----------------------------------
     more = term & (sidx < spp_i)
     pix_done = term & ~more
+
+    # flush the finished pixel's sum into its acc slot — pix_done fires once
+    # per spp samples per lane, so the 3*M-row select loop runs on only a
+    # small fraction of iterations (pl.when on a lane-reduced scalar)
+    @pl.when(jnp.any(pix_done))
+    def _flush():
+        for m in range(m_slots):
+            sel = pix_done & (mrow == m)
+            for c, cur in enumerate((cur_x, cur_y, cur_z)):
+                row = acc_ref[R_ACC + 3 * m + c : R_ACC + 3 * m + c + 1, :]
+                acc_ref[R_ACC + 3 * m + c : R_ACC + 3 * m + c + 1, :] = (
+                    row + jnp.where(sel, cur, 0.0))
+
+    cur_x = jnp.where(pix_done, 0.0, cur_x)
+    cur_y = jnp.where(pix_done, 0.0, cur_y)
+    cur_z = jnp.where(pix_done, 0.0, cur_z)
     m2 = mrow + pix_done.astype(jnp.int32)
     pix2 = m2 * n_lanes + lane
     valid2 = (m2 < m_slots) & (pix2 < p_total)
@@ -366,6 +459,12 @@ def _iterate(st, acc, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
     fxn = jnp.where(adv, fx2, fx)
     fyn = jnp.where(adv, fy2, fy)
     seed_r, (cox, coy, coz), (cdx, cdy, cdz) = _camera_rays_rows(seed_c, fxn, fyn, vpr_ref)
+    if "camera2" in ablate:  # additive cost probe: duplicate ray regen
+        s2_, (c2x, c2y, c2z), (d2x, d2y, d2z) = _camera_rays_rows(
+            seed_c + jnp.uint32(1), fxn, fyn, vpr_ref)
+        del s2_
+        never = (seed == jnp.uint32(0xFFFFFFFF)) & (c2x + d2x < -1e30)
+        cox = jnp.where(never, c2x + c2y + c2z + d2y + d2z, cox)
 
     bx_, by_, bz_ = _norm3(sdx, sdy, sdz)
 
@@ -386,6 +485,11 @@ def _iterate(st, acc, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
         t_nx,
         t_nz,
         bkey,
+        wcx,
+        wcz,
+        cur_x,
+        cur_y,
+        cur_z,
         jnp.where(seg_done, jnp.where(regen, seed_r, seed_a), seed),
         m2,
         jnp.where(adv, 1, sidx + more.astype(jnp.int32)),
@@ -395,13 +499,13 @@ def _iterate(st, acc, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
         icx,
         icz,
     )
-    return st2, acc2
+    return st2
 
 
 def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab_ref, itab_ref,
             atab_ref, fin_ref, uin_ref, fout_ref, uout_ref, *, m_slots,
             n_lanes, p_total, width, max_depth, tmin, tmax, k_steps, j_steps,
-            skip_tmax, cb, ab):
+            skip_tmax, cb, ab, ablate):
     lane = (
         jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
         + pl.program_id(0) * TILE
@@ -421,6 +525,9 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab_ref, itab_ref,
         fin_ref[R_TNX : R_TNX + 1, :],
         fin_ref[R_TNZ : R_TNZ + 1, :],
         fin_ref[R_BKEY : R_BKEY + 1, :],
+        fin_ref[R_WCX : R_WCX + 1, :],
+        fin_ref[R_WCZ : R_WCZ + 1, :],
+        *_vec3(fin_ref, R_CUR),
         uin_ref[U_SEED : U_SEED + 1, :],
         uin_ref[U_M : U_M + 1, :].astype(jnp.int32),
         uin_ref[U_SIDX : U_SIDX + 1, :].astype(jnp.int32),
@@ -430,34 +537,30 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab_ref, itab_ref,
         uin_ref[U_ICX : U_ICX + 1, :].astype(jnp.int32),
         uin_ref[U_ICZ : U_ICZ + 1, :].astype(jnp.int32),
     )
-    acc = [fin_ref[R_ACC + i : R_ACC + i + 1, :] for i in range(3 * m_slots)]
 
+    # fout aliases fin (input_output_aliases): the 3*M acc rows live in the
+    # ref and are RMW'd by _iterate's gated flush — never loop-carried
     step = functools.partial(
-        _iterate, lane=lane, scal_ref=scal_ref, vpr_ref=vpr_ref,
-        gscal_ref=gscal_ref, gtab_ref=gtab_ref, ctab=ctab, itab=itab,
-        atab=atab, m_slots=m_slots, n_lanes=n_lanes, p_total=p_total,
-        width=width, max_depth=max_depth, tmin=tmin, tmax=tmax,
-        skip_tmax=skip_tmax, j_steps=j_steps, cb=cb, ab=ab,
+        _iterate, acc_ref=fout_ref, lane=lane, scal_ref=scal_ref,
+        vpr_ref=vpr_ref, gscal_ref=gscal_ref, gtab_ref=gtab_ref, ctab=ctab,
+        itab=itab, atab=atab, m_slots=m_slots, n_lanes=n_lanes,
+        p_total=p_total, width=width, max_depth=max_depth, tmin=tmin,
+        tmax=tmax, skip_tmax=skip_tmax, j_steps=j_steps, cb=cb, ab=ab,
+        ablate=ablate,
     )
 
-    def body(_, carry):
-        st, acc = carry
-        return step(st, acc)
+    def body(_, st):
+        return step(st)
 
-    st, acc = jax.lax.fori_loop(0, k_steps, body, (st, acc))
+    st = jax.lax.fori_loop(0, k_steps, body, st)
 
     (ox, oy, oz, dx, dy, dz, fx, fy, tx_, ty_, tz_,
-     t_b, t_end, t_nx, t_nz, bkey,
+     t_b, t_end, t_nx, t_nz, bkey, wcx, wcz, cur_x, cur_y, cur_z,
      seed, mrow, sidx, depth, alive, march, icx, icz) = st
     for i, v in enumerate((ox, oy, oz, dx, dy, dz, fx, fy, tx_, ty_, tz_,
-                           t_b, t_end, t_nx, t_nz, bkey)):
+                           t_b, t_end, t_nx, t_nz, bkey, wcx, wcz, cur_x,
+                           cur_y, cur_z)):
         fout_ref[i : i + 1, :] = v
-    for i in range(3 * m_slots):
-        fout_ref[R_ACC + i : R_ACC + i + 1, :] = acc[i]
-    rf = f_rows(m_slots)
-    tail0 = R_ACC + 3 * m_slots
-    if tail0 < rf:
-        fout_ref[tail0:rf, :] = fin_ref[tail0:rf, :]
 
     uout_ref[U_SEED : U_SEED + 1, :] = seed
     uout_ref[U_M : U_M + 1, :] = mrow.astype(jnp.uint32)
@@ -473,24 +576,25 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab_ref, itab_ref,
     jax.jit,
     static_argnames=(
         "m_slots", "n_lanes", "p_total", "width", "max_depth", "k_steps",
-        "j_steps", "skip_tmax", "interpret",
+        "j_steps", "skip_tmax", "ablate", "interpret",
     ),
 )
 def grid_megakernel_step(scal, vpr, gscal, gtab, ctab, itab, atab, fstate,
                          ustate, *, m_slots, n_lanes, p_total, width,
                          max_depth, k_steps=K_STEPS, j_steps=J_STEPS,
-                         skip_tmax=False, interpret=False):
+                         skip_tmax=False, ablate=(), interpret=False):
     """``k_steps`` grid-traced wavefront iterations over all lanes."""
     n_pad = fstate.shape[1]
     rf = f_rows(m_slots)
     grid = n_pad // TILE
     cb = ctab.shape[0] // (3 * N_SLOTS)
-    ab = atab.shape[0] // 12
+    ab = atab.shape[0] // 5  # 5 attr values per sphere id (mat, c0.rgb, attr)
     kernel = functools.partial(
         _kernel, m_slots=m_slots, n_lanes=n_lanes, p_total=p_total,
         width=width, max_depth=max_depth, tmin=np.float32(config.T_MIN),
         tmax=np.float32(config.MAX_RAY_COLLISION_DISTANCE), k_steps=k_steps,
         j_steps=j_steps, skip_tmax=skip_tmax, cb=cb, ab=ab,
+        ablate=frozenset(ablate),
     )
     return pl.pallas_call(
         kernel,
@@ -514,6 +618,9 @@ def grid_megakernel_step(scal, vpr, gscal, gtab, ctab, itab, atab, fstate,
             jax.ShapeDtypeStruct((rf, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((U_ROWS, n_pad), jnp.uint32),
         ],
+        # fstate/ustate are donated in place: the acc rows (and pad rows)
+        # are only ever touched by the gated flush RMW inside the kernel
+        input_output_aliases={7: 0, 8: 1},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(scal, vpr, gscal, gtab, ctab, itab, atab, fstate, ustate)

@@ -241,6 +241,7 @@ def render_band_core(
     pixels_per_lane: int = 1,
     skip_tmax: bool = False,
     return_iters: bool = False,
+    ablate: tuple = (),  # grid-kernel perf-ablation probes (static; debug)
 ):
     """Render one row band; returns the accumulated color sum [band_h, W, 3].
 
@@ -263,7 +264,8 @@ def render_band_core(
             scene, vp, band_h=band_h, width=width, y0=y0, seed_y0=seed_y0,
             offset_x=offset_x, spp=spp, number=number, accum_init=accum_init,
             max_depth=max_depth, pixels_per_lane=pixels_per_lane,
-            skip_tmax=skip_tmax, return_iters=return_iters, backend=backend)
+            skip_tmax=skip_tmax, return_iters=return_iters, backend=backend,
+            ablate=ablate)
 
     p_total = band_h * width
     m_slots = max(1, min(pixels_per_lane, p_total))
@@ -396,7 +398,7 @@ def render_band_core(
 
 def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
                       number, accum_init, max_depth, pixels_per_lane,
-                      skip_tmax, return_iters, backend="mega"):
+                      skip_tmax, return_iters, backend="mega", ablate=()):
     """Megakernel driver: whole loop body in one Pallas call per iteration;
     state in row-major [rows, lanes] arrays so the host loop does zero layout
     conversion.  Semantics identical to the generic path (same RNG streams,
@@ -417,7 +419,7 @@ def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
     p_total = band_h * width
     m_slots = max(1, min(pixels_per_lane, p_total))
     n = -(-p_total // m_slots)  # logical lanes
-    n_pad = -(-n // mega_mod.TILE) * mega_mod.TILE
+    n_pad = -(-n // mk.TILE) * mk.TILE
     rf = mk.f_rows(m_slots)
 
     lane = jnp.arange(n_pad, dtype=jnp.int32)
@@ -478,7 +480,8 @@ def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
             f2, u2 = mk.grid_megakernel_step(
                 scal, vpr, g.gscal, g.gtab, g.ctab, g.itab, g.atab, f, u,
                 m_slots=m_slots, n_lanes=n, p_total=p_total, width=width,
-                max_depth=max_depth, skip_tmax=skip_tmax, interpret=interpret,
+                max_depth=max_depth, k_steps=mk.K_STEPS, j_steps=mk.J_STEPS,
+                skip_tmax=skip_tmax, ablate=ablate, interpret=interpret,
             )
             return (f2, u2, it + mk.K_STEPS)
     else:
@@ -513,7 +516,7 @@ render_band = jax.jit(
     render_band_core,
     static_argnames=(
         "band_h", "width", "max_depth", "backend", "pixels_per_lane",
-        "skip_tmax", "return_iters",
+        "skip_tmax", "return_iters", "ablate",
     ),
 )
 

@@ -110,6 +110,12 @@ class Renderer:
         """
         cfg = self.config
         w, h = cfg.width, cfg.height
+        if self.backend == "grid":  # debug perf probes (gridkernel.ABLATE)
+            from ..ops import gridkernel as _gk
+
+            ablate = tuple(sorted(_gk.ABLATE))
+        else:
+            ablate = ()
         bands = []
         for band_y0 in range(0, h, self.chunk_rows):
             band_h = min(self.chunk_rows, h - band_y0)
@@ -130,6 +136,7 @@ class Renderer:
                     backend=self.backend,
                     pixels_per_lane=self.pixels_per_lane,
                     skip_tmax=self.skip_tmax,
+                    ablate=ablate,
                 )
             )
         import jax.numpy as jnp

@@ -44,10 +44,9 @@ def test_builder_book_scene(book):
     assert g is not None
     # 25x25 half-integer lattice incl. guard ring -> 5 cell blocks
     assert g.ctab.shape == (60, 128) and g.itab.shape == (20, 128)
-    assert g.atab.shape == (48, 128) and g.gtab.shape == (8, 8)
-    # globals: ground + 3 heroes, padding poisoned
+    assert g.atab.shape == (20, 128) and g.gtab.shape == (4, 16)
+    # globals: ground + 3 heroes (exactly — no padding rows needed)
     assert list(g.gtab[:4, 4]) == [0.0, 1.0, 2.0, 3.0]
-    assert all(g.gtab[k, 3] > 1e29 for k in range(4, 8))
     # every small sphere is registered in every cell its delta-enlarged AABB
     # overlaps: 1 cell when it fits inside one, up to 4 at a cell corner
     ids = g.itab[g.itab > 0]

@@ -158,3 +158,13 @@ def test_accum_dtype_rejects_unknown():
 
     with _pytest.raises(ValueError):
         r.render(2)
+
+
+def test_golden_check_runs_on_cpu():
+    """validation.golden_check (the bench numeric_check artifact) passes in
+    interpret mode for both kernel backends."""
+    from raytrace_tpu.runtime.validation import golden_check
+
+    for backend in ("mega", "grid"):
+        res = golden_check(backend)
+        assert res["ok"], res
