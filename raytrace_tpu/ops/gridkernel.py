@@ -20,8 +20,9 @@ Per wavefront iteration each lane is in one of two modes:
 Lanes whose march completed shade (same shader.rchit/rgen row math as the
 brute-force megakernel — materials, termination, accumulation, sample/pixel
 regen), with the winner's attributes fetched by two more gathers (candidate
-id, then the 12 attr values) instead of the megakernel's one-hot MXU
-contraction.  Lanes mid-march skip shading and continue next iteration.
+id, then 5 attr values — the winner's center rides in state rows and tex/c1
+exist only on globals) instead of the megakernel's one-hot MXU contraction.
+Lanes mid-march skip shading and continue next iteration.
 
 Exactness: bit-identical to the brute-force megakernel (tests pin it) — same
 packed (cx, cz, kc) table values, same quadratic op order, strict-< winner
@@ -31,10 +32,12 @@ makes DDA fp slop unable to skip a reachable sphere (models/grid.py).
 
 State layout (f32 rows; M = pixels_per_lane):
   0-2 o | 3-5 d | 6 fx | 7 fy | 8-10 thr | 11 t_best | 12 t_end | 13 t_nx
-  | 14 t_nz | 15 bkey | 16+3m+c acc[m].rgb
+  | 14 t_nz | 15 bkey | 16-17 winner cx/cz | 18-20 cur.rgb | 21+3m+c acc
 u32 rows: 0 seed | 1 m | 2 sidx | 3 depth | 4 alive | 5 marching | 6 icx | 7 icz
 bkey encodes the winner: cell*4+slot for grid hits, 4096+sphere_id for
-global hits (resolved to a sphere id only at shading time).
+global hits (resolved to a sphere id only at shading time); cur.rgb is the
+running sum of the lane's current pixel, flushed to its acc slot on pixel
+advance (the acc rows live in the aliased output ref, not in loop carries).
 """
 
 from __future__ import annotations
