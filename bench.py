@@ -55,8 +55,10 @@ def main() -> int:
 
     try:
         numeric_check = golden_check(r.backend)
+        numeric_check_mt = golden_check(r.backend, multi_tile=True)
     except Exception as e:  # never let validation sink the bench number
         numeric_check = {"backend": r.backend, "ok": False, "error": str(e)[:200]}
+        numeric_check_mt = numeric_check
 
     # timed probe to estimate throughput; large enough that the wavefront
     # tail (which amortizes with spp) doesn't skew the extrapolation
@@ -95,6 +97,7 @@ def main() -> int:
                 "measured": measured,
                 "backend": r.backend,
                 "numeric_check": numeric_check,
+                "numeric_check_multitile": numeric_check_mt,
                 "device": str(jax.devices()[0]),
             }
         )

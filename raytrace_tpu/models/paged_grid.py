@@ -1,0 +1,222 @@
+"""Paged two-level grid — the acceleration structure for dense/large scenes.
+
+The flat grid (models/grid.py) tops out at ~640 cells because Mosaic's
+per-lane lane-gather addresses at most 128 table columns x a handful of
+select-chained blocks.  Dense scenes (BASELINE config 5: 100k spheres at 10
+spheres/unit^2) need ~40k fine cells, far past that wall.  This structure
+breaks the wall with PAGING + wavefront locality:
+
+ - fine cells (size ``s``) are grouped into 8x8 supercell PAGES; each page's
+   candidate slots live in a contiguous VMEM row block, so a *scalar* page
+   id can slice it dynamically (``pl.ds``), and the within-page fine-cell
+   index (<128) is a legal lane-gather;
+ - the kernel fetches per 128-lane chunk: reduce the chunk's page ids to
+   [qmin, qmax] scalars and loop the (tiny, when lanes are coherent) page
+   range, masking each lane to its own page;
+ - lane coherence is maintained by the driver: every kernel invocation,
+   lanes are re-bucketed (argsort by current page) at the XLA level; pixel
+   identity travels in a ``lane0`` state row.  Dense scenes keep paths local
+   (mean free path ~0.3 units at 10/unit^2), so sorted lanes stay coherent
+   across many bounces.
+
+Per-page candidate slots store (cx, cz, kc, lid) where ``lid`` is the
+sphere's index in the page's LOCAL sphere list — shading attributes are
+paged too (attrs addressed by (page, lid)), so nothing ever indexes the
+global 100k-sphere table per lane.  Global (large) spheres work exactly as
+in the flat grid.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+from .grid import DELTA, MAX_GLOBALS, POISON
+
+PAGE_LANES = 128
+F_AXIS = 8  # fine cells per supercell axis (page = 8x8 fine cells)
+
+
+class PagedGridTables(NamedTuple):
+    """Device tables (pure array pytree; layout statics derive from shapes).
+
+    geom:  [n_pages, 4*n_slots, 128] — within a page, row (k*4 + v) is
+           value v of slot k, v in (cx, cz, kc, lid); columns are the page's
+           64 fine cells (of 128 lanes; rest poisoned).  3-D so the kernel
+           derives (n_pages, n_slots) from the shape (statics can't ride in
+           a pytree) and slices pages with a scalar leading index.
+    attrs: [n_pages, 5*ab, 128] — row (v*ab + b) is attr v (mat, c0.rgb,
+           attr) of the page's local spheres b*128..; lid < ab*128.
+    gtab:  [Gp, 16] global spheres (grid.py layout).
+    gscal: [1, 16] f32: xlo,xhi,ylo,yhi,zlo,zhi, fminx,fminz, nscz, cy,
+           fmaxx,fmaxz, inv_s, s, n_slots_f, ab_f
+    """
+
+    geom: np.ndarray
+    attrs: np.ndarray
+    gtab: np.ndarray
+    gscal: np.ndarray
+
+
+# gscal slots (first 12 match models.grid G_* where meaningful)
+P_XLO, P_XHI, P_YLO, P_YHI, P_ZLO, P_ZHI = 0, 1, 2, 3, 4, 5
+P_FMINX, P_FMINZ, P_NSCZ, P_CY, P_FMAXX, P_FMAXZ = 6, 7, 8, 9, 10, 11
+P_INVS, P_S = 12, 13
+
+
+def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None,
+                     max_slots: int = 32, max_ab: int = 2):
+    """Build paged tables or return None when the scene doesn't fit
+    (crowded fine cells / oversized page sphere lists / non-uniform field).
+    """
+    centers = np.asarray(scene.centers, np.float32)
+    radii = np.asarray(scene.radii, np.float32)
+    n = int(scene.n_spheres)
+    if n == 0:
+        return None
+    kc = np.asarray(table[:, 3], np.float32)
+
+    small = radii[:n] <= 0.5 - DELTA
+    idx_all = np.arange(n)
+    g_idx = idx_all[~small]
+    s_idx = idx_all[small]
+    if len(g_idx) > MAX_GLOBALS or len(s_idx) == 0:
+        return None
+    cy = centers[s_idx, 1]
+    if not np.all(cy == cy[0]):
+        return None
+    if np.any(np.asarray(scene.texture)[s_idx] != 0):
+        return None
+
+    cx, cz = centers[s_idx, 0], centers[s_idx, 2]
+    r = radii[s_idx]
+    if cell_size is None:
+        # target ~8 expected candidates per cell:
+        # density * (s + 2r + 2 DELTA)^2 ~ 8
+        area = float((cx.max() - cx.min() + 1) * (cz.max() - cz.min() + 1))
+        density = len(s_idx) / max(area, 1.0)
+        reach = 2.0 * float(r.max()) + 2.0 * DELTA
+        cell_size = max(0.25, np.sqrt(8.0 / density) - reach)
+    s = np.float32(cell_size)
+
+    # fine lattice: cell i covers [fmin + i*s, fmin + (i+1)*s)
+    fmin_x = np.float32(np.floor((cx - r - DELTA).min() / s) * s)
+    fmin_z = np.float32(np.floor((cz - r - DELTA).min() / s) * s)
+    nfx = int(np.ceil(((cx + r + DELTA).max() - fmin_x) / s)) + 1
+    nfz = int(np.ceil(((cz + r + DELTA).max() - fmin_z) / s)) + 1
+    nsc_x = -(-nfx // F_AXIS)
+    nsc_z = -(-nfz // F_AXIS)
+    n_pages = nsc_x * nsc_z
+
+    # register spheres into fine cells (delta-enlarged AABB) — vectorized:
+    # emit one (cell, sphere) pair per overlapped cell via span offsets
+    fcx = np.floor((cx - r - DELTA - fmin_x) / s).astype(np.int64)
+    fcx1 = np.floor((cx + r + DELTA - fmin_x) / s).astype(np.int64)
+    fcz = np.floor((cz - r - DELTA - fmin_z) / s).astype(np.int64)
+    fcz1 = np.floor((cz + r + DELTA - fmin_z) / s).astype(np.int64)
+    span_x = fcx1 - fcx
+    span_z = fcz1 - fcz
+    sis, ixs, izs = [], [], []
+    all_si = np.arange(len(s_idx), dtype=np.int64)
+    for ox in range(int(span_x.max()) + 1):
+        for oz in range(int(span_z.max()) + 1):
+            m = (ox <= span_x) & (oz <= span_z)
+            ix = fcx[m] + ox
+            iz = fcz[m] + oz
+            ok = (ix >= 0) & (ix < nfx) & (iz >= 0) & (iz < nfz)
+            sis.append(all_si[m][ok])
+            ixs.append(ix[ok])
+            izs.append(iz[ok])
+    sis = np.concatenate(sis)
+    ixs = np.concatenate(ixs)
+    izs = np.concatenate(izs)
+    cell = ixs * nfz + izs
+    # sort by (cell, sphere) -> per-cell slots in ascending global-index order
+    order = np.lexsort((sis, cell))
+    cell, sis, ixs, izs = cell[order], sis[order], ixs[order], izs[order]
+    cell_start = np.r_[True, cell[1:] != cell[:-1]]
+    # rank within cell
+    start_pos = np.flatnonzero(cell_start)
+    rank = np.arange(len(cell)) - np.repeat(start_pos, np.diff(np.r_[start_pos, len(cell)]))
+    n_slots = int(rank.max()) + 1 if len(rank) else 1
+    if n_slots > max_slots:
+        return None
+    page = (ixs // F_AXIS) * nsc_z + (izs // F_AXIS)
+    fc = (ixs % F_AXIS) * F_AXIS + (izs % F_AXIS)
+
+    # page-local sphere ids: unique (page, sphere) ranked within page
+    ps = np.unique(page * (len(s_idx) + 1) + sis)
+    p_of = ps // (len(s_idx) + 1)
+    s_of = ps % (len(s_idx) + 1)
+    p_start = np.flatnonzero(np.r_[True, p_of[1:] != p_of[:-1]])
+    lid_of = np.arange(len(ps)) - np.repeat(
+        p_start, np.diff(np.r_[p_start, len(ps)]))
+    max_local = int(lid_of.max()) + 1 if len(lid_of) else 1
+    ab = -(-max_local // PAGE_LANES)
+    if ab > max_ab:
+        return None
+    r0 = 4 * n_slots
+    if n_pages * (r0 + 5 * ab) * PAGE_LANES * 4 > 72 * 2**20:
+        return None  # VMEM budget
+
+    # lid lookup for each (page, sphere) registration pair
+    lid_map = dict(zip(ps.tolist(), lid_of.tolist()))
+    lids = np.array([lid_map[p * (len(s_idx) + 1) + si]
+                     for p, si in zip(page.tolist(), sis.tolist())], np.int64)
+
+    geom = np.zeros((n_pages * r0, PAGE_LANES), np.float32)
+    geom[2::4, :] = POISON  # kc rows default to miss
+    a0 = 5 * ab
+    attrs = np.zeros((n_pages * a0, PAGE_LANES), np.float32)
+
+    base = page * r0 + rank * 4
+    geom[base + 0, fc] = cx[sis]
+    geom[base + 1, fc] = cz[sis]
+    geom[base + 2, fc] = kc[s_idx[sis]]
+    geom[base + 3, fc] = lids.astype(np.float32)
+
+    sph = s_idx[s_of]
+    b_, c_ = np.divmod(lid_of, PAGE_LANES)
+    attrs[p_of * a0 + 0 * ab + b_, c_] = table[sph, 11]  # mat
+    attrs[p_of * a0 + 1 * ab + b_, c_] = table[sph, 13]  # c0.r
+    attrs[p_of * a0 + 2 * ab + b_, c_] = table[sph, 14]
+    attrs[p_of * a0 + 3 * ab + b_, c_] = table[sph, 15]
+    attrs[p_of * a0 + 4 * ab + b_, c_] = table[sph, 19]  # attr
+
+    g_pad = max(4, len(g_idx))
+    gtab = np.zeros((g_pad, 16), np.float32)
+    gtab[:, 3] = POISON
+    gtab[:, 4] = -2.0
+    for k, sphere in enumerate(g_idx):
+        gtab[k, 0:3] = centers[sphere]
+        gtab[k, 3] = kc[sphere]
+        gtab[k, 4] = np.float32(sphere)
+        gtab[k, 5] = np.float32(scene.material[sphere])
+        gtab[k, 6] = np.float32(scene.texture[sphere])
+        gtab[k, 7:10] = np.asarray(scene.color0[sphere], np.float32)
+        gtab[k, 10:13] = np.asarray(scene.color1[sphere], np.float32)
+        gtab[k, 13] = np.float32(scene.attr[sphere])
+
+    y_lo = np.float32((cy - radii[s_idx]).min() - DELTA)
+    y_hi = np.float32((cy + radii[s_idx]).max() + DELTA)
+    gscal = np.zeros((1, 16), np.float32)
+    gscal[0, P_XLO] = fmin_x
+    gscal[0, P_XHI] = np.float32(fmin_x + nfx * s)
+    gscal[0, P_YLO] = y_lo
+    gscal[0, P_YHI] = y_hi
+    gscal[0, P_ZLO] = fmin_z
+    gscal[0, P_ZHI] = np.float32(fmin_z + nfz * s)
+    gscal[0, P_FMINX] = fmin_x
+    gscal[0, P_FMINZ] = fmin_z
+    gscal[0, P_NSCZ] = np.float32(nsc_z)
+    gscal[0, P_CY] = np.float32(cy[0])
+    gscal[0, P_FMAXX] = np.float32(nfx - 1)  # max fine index, x
+    gscal[0, P_FMAXZ] = np.float32(nfz - 1)
+    gscal[0, P_INVS] = np.float32(1.0) / s
+    gscal[0, P_S] = s
+
+    return PagedGridTables(
+        geom=geom.reshape(n_pages, r0, PAGE_LANES),
+        attrs=attrs.reshape(n_pages, a0, PAGE_LANES),
+        gtab=gtab, gscal=gscal)

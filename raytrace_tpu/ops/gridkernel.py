@@ -57,6 +57,7 @@ from . import rng as rngops
 from .intersect import BIG
 from .megakernel import (_SKY, S_NUMBER, S_OFFX, S_SEEDY0, S_SPP, S_Y0,
                          _camera_rays_rows, _norm3, _vec3)
+from .shading_rows import shade_rows
 
 # Lanes per grid step.  Unlike the brute-force megakernel (whose [S, T]
 # intersect blocks span many vregs per op), ALL of this kernel's row ops are
@@ -330,82 +331,12 @@ def _iterate(st, acc_ref, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
     c1x = jnp.where(is_direct, gc1x, 0.0)
     c1y = jnp.where(is_direct, gc1y, 0.0)
     c1z = jnp.where(is_direct, gc1z, 0.0)
-    t = t_b
 
-    # ---- shading: shader.rchit (identical to megakernel._iterate) ---------
-    px_ = ox + t * dx
-    py_ = oy + t * dy
-    pz_ = oz + t * dz
-    nx, ny, nz = _norm3(px_ - cenx, py_ - ceny, pz_ - cenz)
-    ddn = nx * dx + ny * dy + nz * dz
-    front = ddn < 0.0
-    sgn = jnp.where(front, 1.0, -1.0)
-    nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
-
-    sines = jnp.sin(6.0 * px_) * jnp.sin(6.0 * py_) * jnp.sin(6.0 * pz_)
-    use_c1 = (tex > 0.5) & ~(sines > 0.0)
-    ax = jnp.where(use_c1, c1x, c0x)
-    ay = jnp.where(use_c1, c1y, c0y)
-    az = jnp.where(use_c1, c1z, c0z)
-
-    seed3, ux, uy, uz = rngops.random_unit_vector(seed)
-    seed1, refr_rand = rngops.random_float(seed)
-
-    sdx_d = nx + ux
-    sdy_d = ny + uy
-    sdz_d = nz + uz
-    near0 = (jnp.abs(sdx_d) < 1e-8) & (jnp.abs(sdy_d) < 1e-8) & (jnp.abs(sdz_d) < 1e-8)
-    ndd = nx * dx + ny * dy + nz * dz
-    sdx_d = jnp.where(near0, nx, sdx_d)
-    sdy_d = jnp.where(near0, ny, sdy_d)
-    sdz_d = jnp.where(near0, nz, sdz_d)
-
-    rx_ = dx - 2.0 * ndd * nx
-    ry_ = dy - 2.0 * ndd * ny
-    rz_ = dz - 2.0 * ndd * nz
-    mx = rx_ + fuzz * ux
-    my = ry_ + fuzz * uy
-    mz = rz_ + fuzz * uz
-    mx, my, mz = _norm3(mx, my, mz)
-    metal_scatters = (mx * nx + my * ny + mz * nz) > 0.0
-
-    eta = jnp.where(front, 1.0 / fuzz, fuzz)
-    cos_t = -(dx * nx + dy * ny + dz * nz)
-    can_refract = (eta * jnp.sqrt(1.0 - cos_t * cos_t)) <= 1.0
-    r0 = ((1.0 - eta) / (1.0 + eta)) ** 2
-    om = 1.0 - cos_t
-    om2 = om * om
-    reflectance = r0 + (1.0 - r0) * om2 * om2 * om
-    does_refract = can_refract & (reflectance < refr_rand)
-    k = 1.0 - eta * eta * (1.0 - ndd * ndd)
-    sqk = jnp.sqrt(jnp.maximum(k, 0.0))
-    fx_r = eta * dx - (eta * ndd + sqk) * nx
-    fy_r = eta * dy - (eta * ndd + sqk) * ny
-    fz_r = eta * dz - (eta * ndd + sqk) * nz
-    gx = jnp.where(does_refract, fx_r, rx_)
-    gy = jnp.where(does_refract, fy_r, ry_)
-    gz = jnp.where(does_refract, fz_r, rz_)
-
-    is_metal = (mat > 0.5) & (mat < 1.5)
-    is_refr = mat > 1.5
-    sdx = jnp.where(is_metal, mx, jnp.where(is_refr, gx, sdx_d))
-    sdy = jnp.where(is_metal, my, jnp.where(is_refr, gy, sdy_d))
-    sdz = jnp.where(is_metal, mz, jnp.where(is_refr, gz, sdz_d))
-    does_scatter = metal_scatters | ~is_metal
-    seed_h = jnp.where(is_refr, jnp.where(can_refract, seed1, seed), seed3)
-
-    if "shade2" in ablate:  # additive cost probe: re-run the scatter math
-        nx2, ny2, nz2 = _norm3(px_ - cenx + 1.0, py_ - ceny, pz_ - cenz)
-        s2 = jnp.sin(6.0 * px_ + 1.0) * jnp.sin(6.0 * py_) * jnp.sin(6.0 * pz_)
-        m2x = (dx - 2.0 * (nx2 * dx) * nx2) + fuzz * ux
-        e2 = jnp.where(front, 1.0 / (fuzz + 1.0), fuzz)
-        c2 = -(dx * nx2 + dy * ny2 + dz * nz2)
-        cr2 = (e2 * jnp.sqrt(1.0 - c2 * c2)) <= 1.0
-        r02 = ((1.0 - e2) / (1.0 + e2)) ** 2
-        k2 = 1.0 - e2 * e2 * (1.0 - c2 * c2)
-        probe = s2 + m2x + r02 + jnp.sqrt(jnp.maximum(k2, 0.0))
-        never = (seed == jnp.uint32(0xFFFFFFFF)) & cr2 & (probe < -1e30)
-        sdx = jnp.where(never, probe, sdx)
+    # ---- shading: shader.rchit (shared row implementation) -------------
+    (px_, py_, pz_, ax, ay, az, sdx, sdy, sdz, does_scatter,
+     seed_h) = shade_rows(ox, oy, oz, dx, dy, dz, t_b, seed,
+                          cenx, ceny, cenz, mat, tex, c0x, c0y, c0z,
+                          c1x, c1y, c1z, fuzz)
 
     # ---- termination & accumulation (shader.rgen:70-89) -------------------
     scatters = hit & does_scatter
@@ -438,8 +369,8 @@ def _iterate(st, acc_ref, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
         for m in range(m_slots):
             sel = pix_done & (mrow == m)
             for c, cur in enumerate((cur_x, cur_y, cur_z)):
-                row = acc_ref[R_ACC + 3 * m + c : R_ACC + 3 * m + c + 1, :]
-                acc_ref[R_ACC + 3 * m + c : R_ACC + 3 * m + c + 1, :] = (
+                row = acc_ref[3 * m + c : 3 * m + c + 1, :]
+                acc_ref[3 * m + c : 3 * m + c + 1, :] = (
                     row + jnp.where(sel, cur, 0.0))
 
     cur_x = jnp.where(pix_done, 0.0, cur_x)
@@ -506,7 +437,7 @@ def _iterate(st, acc_ref, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
 
 
 def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab_ref, itab_ref,
-            atab_ref, fin_ref, uin_ref, fout_ref, uout_ref, *, m_slots,
+            atab_ref, fin_ref, uin_ref, fout_ref, uout_ref, acc_ref, *, m_slots,
             n_lanes, p_total, width, max_depth, tmin, tmax, k_steps, j_steps,
             skip_tmax, cb, ab, ablate):
     lane = (
@@ -541,10 +472,14 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab_ref, itab_ref,
         uin_ref[U_ICZ : U_ICZ + 1, :].astype(jnp.int32),
     )
 
-    # fout aliases fin (input_output_aliases): the 3*M acc rows live in the
-    # ref and are RMW'd by _iterate's gated flush — never loop-carried
+    # The 3*M acc rows live in a VMEM scratch ref RMW'd by _iterate's gated
+    # flush (never loop-carried); copied in/out once per invocation.  They
+    # must NOT be flushed into fout mid-loop: Mosaic's output windows do not
+    # inherit unwritten rows from an aliased input (measured: they contain
+    # another grid block's staged data), so every fout row is written below.
+    acc_ref[:, :] = fin_ref[R_ACC : R_ACC + 3 * m_slots, :]
     step = functools.partial(
-        _iterate, acc_ref=fout_ref, lane=lane, scal_ref=scal_ref,
+        _iterate, acc_ref=acc_ref, lane=lane, scal_ref=scal_ref,
         vpr_ref=vpr_ref, gscal_ref=gscal_ref, gtab_ref=gtab_ref, ctab=ctab,
         itab=itab, atab=atab, m_slots=m_slots, n_lanes=n_lanes,
         p_total=p_total, width=width, max_depth=max_depth, tmin=tmin,
@@ -564,6 +499,11 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab_ref, itab_ref,
                            t_b, t_end, t_nx, t_nz, bkey, wcx, wcz, cur_x,
                            cur_y, cur_z)):
         fout_ref[i : i + 1, :] = v
+    fout_ref[R_ACC : R_ACC + 3 * m_slots, :] = acc_ref[:, :]
+    rf = f_rows(m_slots)
+    tail0 = R_ACC + 3 * m_slots
+    if tail0 < rf:
+        fout_ref[tail0:rf, :] = fin_ref[tail0:rf, :]
 
     uout_ref[U_SEED : U_SEED + 1, :] = seed
     uout_ref[U_M : U_M + 1, :] = mrow.astype(jnp.uint32)
@@ -621,9 +561,10 @@ def grid_megakernel_step(scal, vpr, gscal, gtab, ctab, itab, atab, fstate,
             jax.ShapeDtypeStruct((rf, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((U_ROWS, n_pad), jnp.uint32),
         ],
-        # fstate/ustate are donated in place: the acc rows (and pad rows)
-        # are only ever touched by the gated flush RMW inside the kernel
-        input_output_aliases={7: 0, 8: 1},
+        input_output_aliases={7: 0, 8: 1},  # buffer reuse only — every
+        # output row is still written (Mosaic does not preserve unwritten
+        # rows of aliased outputs)
+        scratch_shapes=[pltpu.VMEM((3 * m_slots, TILE), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(scal, vpr, gscal, gtab, ctab, itab, atab, fstate, ustate)

@@ -21,7 +21,7 @@ from raytrace_tpu.runtime.renderer import Renderer
 
 W, H, SPP = 1920, 1080, int(os.environ.get("SWEEP_SPP", 200))
 ROUNDS = int(os.environ.get("SWEEP_ROUNDS", 5))
-VARIANTS = ["base", "fetch2", "resolve2", "global2", "shade2", "camera2"]
+VARIANTS = ["base", "fetch2", "resolve2", "global2", "camera2"]
 
 gk.J_STEPS = 1
 renderers = {}

@@ -23,11 +23,13 @@ def main() -> int:
     print(f"device={jax.devices()[0]}")
     rc = 0
     for b in backends:
-        res = golden_check(b)
-        print(f"{b}: bad_px={res['bad_px']}/{res['total_px']} "
-              f"maxdiff={res['max_diff']:.3g} mean_rel={res['mean_rel']:.3g} "
-              f"-> {'PASS' if res['ok'] else 'FAIL'}")
-        rc |= 0 if res["ok"] else 1
+        for mt in (False, True):
+            res = golden_check(b, multi_tile=mt)
+            tag = "multi-tile" if mt else "single-tile"
+            print(f"{b} [{tag}]: bad_px={res['bad_px']}/{res['total_px']} "
+                  f"maxdiff={res['max_diff']:.3g} mean_rel={res['mean_rel']:.3g} "
+                  f"-> {'PASS' if res['ok'] else 'FAIL'}")
+            rc |= 0 if res["ok"] else 1
     return rc
 
 

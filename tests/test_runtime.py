@@ -168,3 +168,7 @@ def test_golden_check_runs_on_cpu():
     for backend in ("mega", "grid"):
         res = golden_check(backend)
         assert res["ok"], res
+    # multi-tile config (several kernel grid steps — catches block-pipeline
+    # bugs like unwritten aliased-output rows)
+    res = golden_check("grid", multi_tile=True)
+    assert res["ok"], res
