@@ -1,0 +1,455 @@
+"""Paged-grid megakernel: the acceleration structure for dense/large scenes.
+
+Same wavefront state machine as ops/gridkernel.py (segment start with
+brute-forced globals -> fine-cell DDA march -> shade/accumulate/regen), but
+candidates come from a PAGED two-level grid (models/paged_grid.py), which
+scales past the flat grid's ~640-cell lane-gather addressing wall:
+
+ - the DDA walks fine cells of size ``s``; a cell's page (8x8 supercell) is
+   a *scalar-addressable* block of the geometry table (3-D VMEM ref,
+   ``geom_ref[page]``), and the within-page fine index (<128) is a legal
+   Mosaic lane-gather;
+ - fetches run per 128-lane chunk: reduce the chunk's page ids to
+   [qmin, qmax] scalars and loop that range, masking each lane to its page.
+   Cost is proportional to the chunk's page SPREAD, so the driver re-buckets
+   lanes (argsort by page) between kernel invocations; pixel identity rides
+   in a ``lane0`` state row and the final accumulator is unpermuted by it.
+
+Winner attributes are paged too (per-page local sphere lists), so nothing
+ever indexes the global sphere table per lane — scene size is bounded by
+VMEM, not by gather addressing.
+
+State: f32 rows exactly as gridkernel; u32 rows: 0 seed | 1 m | 2 sidx |
+3 depth | 4 alive | 5 marching | 6 cell (icx<<12 | icz) | 7 lane0.
+bkey: page*(ab*128)+lid for grid hits; 2^24+sphere_id for globals.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import config
+from ..models.paged_grid import (F_AXIS, P_CY, P_FMAXX, P_FMAXZ, P_FMINX,
+                                 P_FMINZ, P_INVS, P_NSCZ, P_S, P_XHI, P_XLO,
+                                 P_YHI, P_YLO, P_ZHI, P_ZLO)
+from . import rng as rngops
+from .gridkernel import (R_ACC, R_BKEY, R_CUR, R_D, R_FX, R_FY, R_O, R_TB,
+                         R_TE, R_THR, R_TNX, R_TNZ, R_WCX, R_WCZ, TILE,
+                         U_ALIVE, U_DEPTH, U_M, U_MARCH, U_ROWS, U_SEED,
+                         U_SIDX, _quadratic, _slab, f_rows)
+from .intersect import BIG
+from .megakernel import (_SKY, S_NUMBER, S_OFFX, S_SEEDY0, S_SPP, S_Y0,
+                         _camera_rays_rows, _norm3, _vec3)
+from .shading_rows import shade_rows
+
+U_CELL, U_LANE0 = 6, 7
+K_STEPS = 10
+# 2^23: bkey values >= are direct sphere ids.  Must stay a power of two
+# small enough that TAG + id is EXACT in f32 (ulp(2^23) = 1; 2^24 would
+# round ids 0/1 together) while leaving room for page*(ab*128)+lid below it.
+_TAG = np.float32(8388608.0)
+
+
+def _page_fetch(tab_ref, page, fc, masked, *, n_rows, poison_rows):
+    """Per-chunk paged fetch: tab_ref [n_pages, n_rows, 128]; page/fc [1, T]
+    i32; masked [1, T] bool (lanes whose fetch matters).  Returns [n_rows, T]
+    with ``poison_rows`` poisoned (and others zeroed) where not fetched."""
+    t = page.shape[1]
+    nb = t // 128
+    pg = page.reshape(nb, 128)
+    fcb = fc.reshape(nb, 128)
+    mk = masked.reshape(nb, 128)
+    init = jnp.zeros((n_rows, 128), jnp.float32)
+    if poison_rows is not None:
+        rid = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 128), 0)
+        init = jnp.where((rid % poison_rows[1]) == poison_rows[0],
+                         np.float32(3e30), init)
+    chunks = []
+    for rb in range(nb):
+        q = pg[rb : rb + 1, :]
+        f = fcb[rb : rb + 1, :]
+        m = mk[rb : rb + 1, :]
+        q_eff = jnp.where(m, q, jnp.int32(1 << 30))
+        qmin = jnp.min(q_eff)
+        qmax = jnp.max(jnp.where(m, q, jnp.int32(-1)))
+        fb = jax.lax.broadcast_in_dim(f, (n_rows, 128), (0, 1))
+
+        def body(d, acc, q=q, m=m, fb=fb, qmin=qmin):
+            pid = qmin + d
+            pgdata = tab_ref[pid]  # [n_rows, 128]
+            g = jnp.take_along_axis(pgdata, fb, axis=1)
+            sel = m & (q == pid)
+            return jnp.where(sel, g, acc)
+
+        n_iter = jnp.maximum(qmax - qmin + 1, 0)
+        acc = jax.lax.fori_loop(0, n_iter, body, init)
+        chunks.append(acc)
+    return jnp.concatenate(chunks, axis=1)  # [n_rows, T]
+
+
+def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
+             attrs_ref, *, m_slots, n_lanes, p_total, width, max_depth,
+             tmin, tmax, skip_tmax, n_slots, ab):
+    (ox, oy, oz, dx, dy, dz, fx, fy, tx_, ty_, tz_,
+     t_b, t_end, t_nx, t_nz, bkey, wcx, wcz, cr_, cg_, cb2_,
+     seed, mrow, sidx, depth, alive_i, march_i, cell, lane0) = st
+    alive = alive_i != 0
+    marching = march_i != 0
+
+    spp_i = scal_ref[0, S_SPP]
+    number = scal_ref[0, S_NUMBER].astype(jnp.uint32)
+    y0 = scal_ref[0, S_Y0]
+    seed_y0 = scal_ref[0, S_SEEDY0]
+    offx = scal_ref[0, S_OFFX]
+
+    fminx = gscal_ref[0, P_FMINX]
+    fminz = gscal_ref[0, P_FMINZ]
+    fmaxx = gscal_ref[0, P_FMAXX]
+    fmaxz = gscal_ref[0, P_FMAXZ]
+    nscz = gscal_ref[0, P_NSCZ]
+    cy_u = gscal_ref[0, P_CY]
+    inv_s = gscal_ref[0, P_INVS]
+    cs = gscal_ref[0, P_S]
+
+    a = dx * dx + dy * dy + dz * dz
+    od = ox * dx + oy * dy + oz * dz
+    oo = ox * ox + oy * oy + oz * oz
+    inv_a = 1.0 / a
+
+    # ---- segment start: globals + clip + fine-DDA init ---------------------
+    need = alive & ~marching
+    t_b = jnp.where(need, BIG, t_b)
+    bkey = jnp.where(need, _TAG, bkey)
+    for k in range(gtab_ref.shape[0]):
+        tc = _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a,
+                        gtab_ref[k, 0], gtab_ref[k, 1], gtab_ref[k, 2],
+                        gtab_ref[k, 3], tmin=tmin, tmax=tmax,
+                        skip_tmax=skip_tmax)
+        upd = need & (tc < t_b)
+        t_b = jnp.where(upd, tc, t_b)
+        bkey = jnp.where(upd, _TAG + gtab_ref[k, 4], bkey)
+
+    t0x, t1x = _slab(ox, dx, gscal_ref[0, P_XLO], gscal_ref[0, P_XHI])
+    t0y, t1y = _slab(oy, dy, gscal_ref[0, P_YLO], gscal_ref[0, P_YHI])
+    t0z, t1z = _slab(oz, dz, gscal_ref[0, P_ZLO], gscal_ref[0, P_ZHI])
+    t_start = jnp.maximum(jnp.maximum(t0x, t0y), jnp.maximum(t0z, tmin))
+    t_end_n = jnp.minimum(jnp.minimum(t1x, t1y), t1z)
+    march0 = need & (t_start <= t_end_n) & (t_start < t_b)
+
+    px0 = ox + t_start * dx
+    pz0 = oz + t_start * dz
+    icx_n = jnp.clip(jnp.floor((px0 - fminx) * inv_s), 0.0, fmaxx)
+    icz_n = jnp.clip(jnp.floor((pz0 - fminz) * inv_s), 0.0, fmaxz)
+    bx = fminx + (icx_n + jnp.where(dx >= 0, 1.0, 0.0)) * cs
+    bz = fminz + (icz_n + jnp.where(dz >= 0, 1.0, 0.0)) * cs
+    t_nx_n = jnp.where(dx == 0.0, BIG, (bx - ox) / dx)
+    t_nz_n = jnp.where(dz == 0.0, BIG, (bz - oz) / dz)
+
+    t_end = jnp.where(need, t_end_n, t_end)
+    t_nx = jnp.where(march0, t_nx_n, t_nx)
+    t_nz = jnp.where(march0, t_nz_n, t_nz)
+    cell_n = (icx_n.astype(jnp.int32) << 12) | icz_n.astype(jnp.int32)
+    cell = jnp.where(march0, cell_n, cell)
+    marching = marching | march0
+
+    # ---- fine-DDA march: one cell per iteration ----------------------------
+    step_x = jnp.where(dx >= 0, 1, -1)
+    step_z = jnp.where(dz >= 0, 1, -1)
+    dt_x = jnp.where(dx == 0.0, BIG, jnp.abs(cs / dx))
+    dt_z = jnp.where(dz == 0.0, BIG, jnp.abs(cs / dz))
+
+    icx = cell >> 12
+    icz = cell & 4095
+    nscz_i = nscz.astype(jnp.int32)
+    page = (icx >> 3) * nscz_i + (icz >> 3)
+    fc = ((icx & 7) << 3) | (icz & 7)
+    vals = _page_fetch(geom_ref, page, fc, marching,
+                       n_rows=4 * n_slots, poison_rows=(2, 4))
+    for s in range(n_slots):
+        tc = _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a,
+                        vals[4 * s : 4 * s + 1, :], cy_u,
+                        vals[4 * s + 1 : 4 * s + 2, :],
+                        vals[4 * s + 2 : 4 * s + 3, :],
+                        tmin=tmin, tmax=tmax, skip_tmax=skip_tmax)
+        upd = marching & (tc < t_b)
+        t_b = jnp.where(upd, tc, t_b)
+        bkey = jnp.where(
+            upd,
+            page.astype(jnp.float32) * np.float32(ab * 128)
+            + vals[4 * s + 3 : 4 * s + 4, :],
+            bkey)
+        wcx = jnp.where(upd, vals[4 * s : 4 * s + 1, :], wcx)
+        wcz = jnp.where(upd, vals[4 * s + 1 : 4 * s + 2, :], wcz)
+    t_exit = jnp.minimum(t_nx, t_nz)
+    cont = marching & (t_exit < t_b) & (t_exit < t_end)
+    cross_x = t_nx <= t_nz
+    adv_x = cont & cross_x
+    adv_z = cont & ~cross_x
+    icx = jnp.where(adv_x, jnp.clip(icx + step_x, 0, fmaxx.astype(jnp.int32)), icx)
+    icz = jnp.where(adv_z, jnp.clip(icz + step_z, 0, fmaxz.astype(jnp.int32)), icz)
+    t_nx = jnp.where(adv_x, t_nx + dt_x, t_nx)
+    t_nz = jnp.where(adv_z, t_nz + dt_z, t_nz)
+    cell = (icx << 12) | icz
+    marching = cont
+
+    seg_done = alive & ~marching
+    hit = t_b < BIG
+
+    # ---- winner resolution: paged attrs + gtab selects ----------------------
+    is_direct = bkey >= _TAG
+    bkey_i = bkey.astype(jnp.int32)
+    page_w = bkey_i // (ab * 128)
+    lid = bkey_i % (ab * 128)
+    want = seg_done & hit & ~is_direct
+    at = _page_fetch(attrs_ref, page_w, lid & 127, want,
+                     n_rows=5 * ab, poison_rows=None)
+    if ab > 1:
+        hi = lid >> 7
+        mat = at[0:1, :]
+        c0x, c0y, c0z = at[ab : ab + 1, :], at[2 * ab : 2 * ab + 1, :], at[3 * ab : 3 * ab + 1, :]
+        fuzz = at[4 * ab : 4 * ab + 1, :]
+        for b in range(1, ab):
+            sel = hi == b
+            mat = jnp.where(sel, at[b : b + 1, :], mat)
+            c0x = jnp.where(sel, at[ab + b : ab + b + 1, :], c0x)
+            c0y = jnp.where(sel, at[2 * ab + b : 2 * ab + b + 1, :], c0y)
+            c0z = jnp.where(sel, at[3 * ab + b : 3 * ab + b + 1, :], c0z)
+            fuzz = jnp.where(sel, at[4 * ab + b : 4 * ab + b + 1, :], fuzz)
+    else:
+        mat = at[0:1, :]
+        c0x, c0y, c0z = at[1:2, :], at[2:3, :], at[3:4, :]
+        fuzz = at[4:5, :]
+
+    # globals: center/tex/c1/mat/c0/attr from the tiny SMEM table
+    bidx_f = jnp.where(is_direct, bkey - _TAG, np.float32(-1.0))
+    gsel = [jnp.full_like(t_b, gtab_ref[0, c]) for c in
+            (0, 1, 2, 5, 6, 7, 8, 9, 10, 11, 12, 13)]
+    for k in range(1, gtab_ref.shape[0]):
+        sel = bidx_f == gtab_ref[k, 4]
+        for i, c in enumerate((0, 1, 2, 5, 6, 7, 8, 9, 10, 11, 12, 13)):
+            gsel[i] = jnp.where(sel, gtab_ref[k, c], gsel[i])
+    (gcx, gcy, gcz, gmat, gtex, gc0x, gc0y, gc0z,
+     gc1x, gc1y, gc1z, gattr) = gsel
+    cenx = jnp.where(is_direct, gcx, wcx)
+    ceny = jnp.where(is_direct, gcy, cy_u)
+    cenz = jnp.where(is_direct, gcz, wcz)
+    tex = jnp.where(is_direct, gtex, 0.0)
+    c1x = jnp.where(is_direct, gc1x, 0.0)
+    c1y = jnp.where(is_direct, gc1y, 0.0)
+    c1z = jnp.where(is_direct, gc1z, 0.0)
+    mat = jnp.where(is_direct, gmat, mat)
+    c0x = jnp.where(is_direct, gc0x, c0x)
+    c0y = jnp.where(is_direct, gc0y, c0y)
+    c0z = jnp.where(is_direct, gc0z, c0z)
+    fuzz = jnp.where(is_direct, gattr, fuzz)
+
+    # ---- shading (shared rows implementation) ------------------------------
+    (px_, py_, pz_, ax, ay, az, sdx, sdy, sdz, does_scatter,
+     seed_h) = shade_rows(ox, oy, oz, dx, dy, dz, t_b, seed,
+                          cenx, ceny, cenz, mat, tex, c0x, c0y, c0z,
+                          c1x, c1y, c1z, fuzz)
+
+    # ---- termination & accumulation ----------------------------------------
+    scatters = hit & does_scatter
+    deep = (depth + 1) >= max_depth
+    cont_b = seg_done & scatters & ~deep
+    term = seg_done & ~cont_b
+    lx = jnp.where(hit, jnp.where(does_scatter, 0.0, ax), _SKY[0])
+    ly = jnp.where(hit, jnp.where(does_scatter, 0.0, ay), _SKY[1])
+    lz = jnp.where(hit, jnp.where(does_scatter, 0.0, az), _SKY[2])
+    cur_x = cr_ + jnp.where(term, tx_ * lx, 0.0)
+    cur_y = cg_ + jnp.where(term, ty_ * ly, 0.0)
+    cur_z = cb2_ + jnp.where(term, tz_ * lz, 0.0)
+
+    seed_a = jnp.where(seg_done & hit, seed_h, seed)
+
+    # ---- regen (pixel addressing via lane0 — lanes get re-bucketed) --------
+    more = term & (sidx < spp_i)
+    pix_done = term & ~more
+
+    @pl.when(jnp.any(pix_done))
+    def _flush():
+        for m in range(m_slots):
+            sel = pix_done & (mrow == m)
+            for c, cur in enumerate((cur_x, cur_y, cur_z)):
+                row = acc_ref[3 * m + c : 3 * m + c + 1, :]
+                acc_ref[3 * m + c : 3 * m + c + 1, :] = (
+                    row + jnp.where(sel, cur, 0.0))
+
+    cur_x = jnp.where(pix_done, 0.0, cur_x)
+    cur_y = jnp.where(pix_done, 0.0, cur_y)
+    cur_z = jnp.where(pix_done, 0.0, cur_z)
+
+    m2 = mrow + pix_done.astype(jnp.int32)
+    pix2 = m2 * n_lanes + lane0
+    valid2 = (m2 < m_slots) & (pix2 < p_total)
+    adv = pix_done & valid2
+    px2 = pix2 % width
+    py2 = pix2 // width
+    fx2 = (offx + px2).astype(jnp.float32)
+    fy2 = (y0 + py2).astype(jnp.float32)
+    fresh = rngops.tea_hash(
+        rngops.tea_hash(px2.astype(jnp.uint32), (seed_y0 + py2).astype(jnp.uint32)),
+        number,
+    )
+    regen = more | adv
+    seed_c = jnp.where(adv, fresh, seed_a)
+    fxn = jnp.where(adv, fx2, fx)
+    fyn = jnp.where(adv, fy2, fy)
+    seed_r, (cox, coy, coz), (cdx, cdy, cdz) = _camera_rays_rows(seed_c, fxn, fyn, vpr_ref)
+
+    bx_, by_, bz_ = _norm3(sdx, sdy, sdz)
+
+    return (
+        jnp.where(cont_b, px_, jnp.where(regen, cox, ox)),
+        jnp.where(cont_b, py_, jnp.where(regen, coy, oy)),
+        jnp.where(cont_b, pz_, jnp.where(regen, coz, oz)),
+        jnp.where(cont_b, bx_, jnp.where(regen, cdx, dx)),
+        jnp.where(cont_b, by_, jnp.where(regen, cdy, dy)),
+        jnp.where(cont_b, bz_, jnp.where(regen, cdz, dz)),
+        fxn,
+        fyn,
+        jnp.where(cont_b, tx_ * ax, jnp.where(regen, 1.0, tx_)),
+        jnp.where(cont_b, ty_ * ay, jnp.where(regen, 1.0, ty_)),
+        jnp.where(cont_b, tz_ * az, jnp.where(regen, 1.0, tz_)),
+        t_b,
+        t_end,
+        t_nx,
+        t_nz,
+        bkey,
+        wcx,
+        wcz,
+        cur_x,
+        cur_y,
+        cur_z,
+        jnp.where(seg_done, jnp.where(regen, seed_r, seed_a), seed),
+        m2,
+        jnp.where(adv, 1, sidx + more.astype(jnp.int32)),
+        jnp.where(cont_b, depth + 1, jnp.where(regen, 0, depth)),
+        (marching | (seg_done & (cont_b | regen))).astype(jnp.int32),
+        marching.astype(jnp.int32),
+        cell,
+        lane0,
+    )
+
+
+def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, attrs_ref,
+            fin_ref, uin_ref, fout_ref, uout_ref, acc_ref, *, m_slots,
+            n_lanes, p_total, width, max_depth, tmin, tmax, k_steps,
+            n_slots, ab, skip_tmax):
+    st = (
+        *_vec3(fin_ref, R_O),
+        *_vec3(fin_ref, R_D),
+        fin_ref[R_FX : R_FX + 1, :],
+        fin_ref[R_FY : R_FY + 1, :],
+        *_vec3(fin_ref, R_THR),
+        fin_ref[R_TB : R_TB + 1, :],
+        fin_ref[R_TE : R_TE + 1, :],
+        fin_ref[R_TNX : R_TNX + 1, :],
+        fin_ref[R_TNZ : R_TNZ + 1, :],
+        fin_ref[R_BKEY : R_BKEY + 1, :],
+        fin_ref[R_WCX : R_WCX + 1, :],
+        fin_ref[R_WCZ : R_WCZ + 1, :],
+        *_vec3(fin_ref, R_CUR),
+        uin_ref[U_SEED : U_SEED + 1, :],
+        uin_ref[U_M : U_M + 1, :].astype(jnp.int32),
+        uin_ref[U_SIDX : U_SIDX + 1, :].astype(jnp.int32),
+        uin_ref[U_DEPTH : U_DEPTH + 1, :].astype(jnp.int32),
+        (uin_ref[U_ALIVE : U_ALIVE + 1, :] != 0).astype(jnp.int32),
+        (uin_ref[U_MARCH : U_MARCH + 1, :] != 0).astype(jnp.int32),
+        uin_ref[U_CELL : U_CELL + 1, :].astype(jnp.int32),
+        uin_ref[U_LANE0 : U_LANE0 + 1, :].astype(jnp.int32),
+    )
+    acc_ref[:, :] = fin_ref[R_ACC : R_ACC + 3 * m_slots, :]
+
+    step = functools.partial(
+        _iterate, acc_ref=acc_ref, scal_ref=scal_ref, vpr_ref=vpr_ref,
+        gscal_ref=gscal_ref, gtab_ref=gtab_ref, geom_ref=geom_ref,
+        attrs_ref=attrs_ref, m_slots=m_slots, n_lanes=n_lanes,
+        p_total=p_total, width=width, max_depth=max_depth, tmin=tmin,
+        tmax=tmax, skip_tmax=skip_tmax, n_slots=n_slots, ab=ab,
+    )
+
+    def body(_, st):
+        return step(st)
+
+    st = jax.lax.fori_loop(0, k_steps, body, st)
+
+    (ox, oy, oz, dx, dy, dz, fx, fy, tx_, ty_, tz_,
+     t_b, t_end, t_nx, t_nz, bkey, wcx, wcz, cur_x, cur_y, cur_z,
+     seed, mrow, sidx, depth, alive, march, cell, lane0) = st
+    for i, v in enumerate((ox, oy, oz, dx, dy, dz, fx, fy, tx_, ty_, tz_,
+                           t_b, t_end, t_nx, t_nz, bkey, wcx, wcz, cur_x,
+                           cur_y, cur_z)):
+        fout_ref[i : i + 1, :] = v
+    fout_ref[R_ACC : R_ACC + 3 * m_slots, :] = acc_ref[:, :]
+    rf = f_rows(m_slots)
+    tail0 = R_ACC + 3 * m_slots
+    if tail0 < rf:
+        fout_ref[tail0:rf, :] = fin_ref[tail0:rf, :]
+
+    uout_ref[U_SEED : U_SEED + 1, :] = seed
+    uout_ref[U_M : U_M + 1, :] = mrow.astype(jnp.uint32)
+    uout_ref[U_SIDX : U_SIDX + 1, :] = sidx.astype(jnp.uint32)
+    uout_ref[U_DEPTH : U_DEPTH + 1, :] = depth.astype(jnp.uint32)
+    uout_ref[U_ALIVE : U_ALIVE + 1, :] = alive.astype(jnp.uint32)
+    uout_ref[U_MARCH : U_MARCH + 1, :] = march.astype(jnp.uint32)
+    uout_ref[U_CELL : U_CELL + 1, :] = cell.astype(jnp.uint32)
+    uout_ref[U_LANE0 : U_LANE0 + 1, :] = lane0.astype(jnp.uint32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "m_slots", "n_lanes", "p_total", "width", "max_depth", "k_steps",
+        "skip_tmax", "interpret",
+    ),
+)
+def paged_megakernel_step(scal, vpr, gscal, gtab, geom, attrs, fstate,
+                          ustate, *, m_slots, n_lanes, p_total, width,
+                          max_depth, k_steps=K_STEPS, skip_tmax=False,
+                          interpret=False):
+    """``k_steps`` paged-grid wavefront iterations over all lanes."""
+    n_pad = fstate.shape[1]
+    rf = f_rows(m_slots)
+    grid = n_pad // TILE
+    n_slots = geom.shape[1] // 4
+    ab = attrs.shape[1] // 5
+    kernel = functools.partial(
+        _kernel, m_slots=m_slots, n_lanes=n_lanes, p_total=p_total,
+        width=width, max_depth=max_depth, tmin=np.float32(config.T_MIN),
+        tmax=np.float32(config.MAX_RAY_COLLISION_DISTANCE), k_steps=k_steps,
+        n_slots=n_slots, ab=ab, skip_tmax=skip_tmax,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scal (1, 8) i32
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # vpr (1, 24) f32
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # gscal (1, 16) f32
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # gtab (Gp, 16) f32
+            pl.BlockSpec(geom.shape, lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(attrs.shape, lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rf, TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((U_ROWS, TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rf, TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((U_ROWS, TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rf, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((U_ROWS, n_pad), jnp.uint32),
+        ],
+        input_output_aliases={6: 0, 7: 1},  # buffer reuse; all rows written
+        scratch_shapes=[pltpu.VMEM((3 * m_slots, TILE), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 2**20),
+        interpret=interpret,
+    )(scal, vpr, gscal, gtab, geom, attrs, fstate, ustate)

@@ -78,6 +78,8 @@ class DeviceScene(NamedTuple):
     table: jnp.ndarray  # [S,24] packed table for the Pallas kernel
     grid: object = None  # models.grid.GridTables when the scene fits the
     #                      uniform-grid acceleration structure, else None
+    paged: object = None  # models.paged_grid.PagedGridTables for dense/large
+    #                       scenes past the flat grid's addressing reach
 
 
 class ViewportArrays(NamedTuple):
@@ -97,6 +99,7 @@ class ViewportArrays(NamedTuple):
 def prepare_scene(scene: SceneArrays) -> DeviceScene:
     """Host-side scene prep: SoA -> device layout with matmul precomputes."""
     from ..models.grid import build_grid
+    from ..models.paged_grid import build_paged_grid
     from .pallas_intersect import sphere_table
 
     centers = np.asarray(scene.centers, np.float32)
@@ -105,6 +108,8 @@ def prepare_scene(scene: SceneArrays) -> DeviceScene:
     s = centers.shape[0]
     valid = np.arange(s) < n
     table = sphere_table(scene)
+    grid = build_grid(scene, table)
+    paged = None if grid is not None else build_paged_grid(scene, table)
     return DeviceScene(
         centers=centers,
         centers_t=np.ascontiguousarray(centers.T),
@@ -117,7 +122,8 @@ def prepare_scene(scene: SceneArrays) -> DeviceScene:
         color1=np.asarray(scene.color1, np.float32),
         attr=np.asarray(scene.attr, np.float32),
         table=table,
-        grid=build_grid(scene, table),
+        grid=grid,
+        paged=paged,
     )
 
 
@@ -266,6 +272,12 @@ def render_band_core(
             max_depth=max_depth, pixels_per_lane=pixels_per_lane,
             skip_tmax=skip_tmax, return_iters=return_iters, backend=backend,
             ablate=ablate)
+    if backend == "paged":
+        return _render_band_paged(
+            scene, vp, band_h=band_h, width=width, y0=y0, seed_y0=seed_y0,
+            offset_x=offset_x, spp=spp, number=number, accum_init=accum_init,
+            max_depth=max_depth, pixels_per_lane=pixels_per_lane,
+            skip_tmax=skip_tmax, return_iters=return_iters)
 
     p_total = band_h * width
     m_slots = max(1, min(pixels_per_lane, p_total))
@@ -503,6 +515,166 @@ def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
     acc = (
         fstate[mk.R_ACC : mk.R_ACC + 3 * m_slots, :n]
         .reshape(m_slots, 3, n)
+        .transpose(0, 2, 1)
+        .reshape(m_slots * n, 3)[:p_total]
+        .reshape(band_h, width, 3)
+    )
+    if return_iters:
+        return acc, iters
+    return acc
+
+
+
+from .megakernel import (S_NUMBER as mega_S_NUMBER, S_OFFX as mega_S_OFFX,
+                         S_SEEDY0 as mega_S_SEEDY0, S_SPP as mega_S_SPP,
+                         S_Y0 as mega_S_Y0)
+
+
+def _render_band_paged(scene, vp, *, band_h, width, y0, seed_y0, offset_x,
+                       spp, number, accum_init, max_depth, pixels_per_lane,
+                       skip_tmax, return_iters):
+    """Paged-grid driver (ops/pagedkernel.py) with lane re-bucketing.
+
+    Identical wavefront semantics to the grid/mega drivers, plus: between
+    kernel invocations, lanes are re-sorted by their (current or predicted)
+    page so each 128-lane chunk spans few pages — the paged fetch's cost is
+    proportional to the chunk's page spread.  Pixel identity rides in the
+    lane0 state row; the final accumulator is unpermuted by it.
+    """
+    from ..models.paged_grid import (P_FMINX, P_FMINZ, P_INVS, P_NSCZ,
+                                     P_XHI, P_XLO, P_YHI, P_YLO, P_ZHI,
+                                     P_ZLO)
+    from . import pagedkernel as pk
+
+    g = scene.paged
+    if g is None:
+        raise ValueError("paged backend requires a paged-grid-able scene")
+
+    p_total = band_h * width
+    m_slots = max(1, min(pixels_per_lane, p_total))
+    n = -(-p_total // m_slots)
+    n_pad = -(-n // pk.TILE) * pk.TILE
+    rf = pk.f_rows(m_slots)
+
+    lane = jnp.arange(n_pad, dtype=jnp.int32)
+    px = lane % width
+    py_local = lane // width
+    fx0 = (offset_x + px).astype(jnp.float32)
+    fy0 = (y0 + py_local).astype(jnp.float32)
+    seed0 = rngops.tea_hash(
+        rngops.tea_hash(px.astype(jnp.uint32), (seed_y0 + py_local).astype(jnp.uint32)),
+        jnp.uint32(number),
+    )
+    seed, o, d = _camera_rays(seed0, fx0, fy0, vp)
+
+    fstate = jnp.zeros((rf, n_pad), jnp.float32)
+    fstate = fstate.at[pk.R_O : pk.R_O + 3].set(o.T)
+    fstate = fstate.at[pk.R_D : pk.R_D + 3].set(d.T)
+    fstate = fstate.at[pk.R_FX].set(fx0)
+    fstate = fstate.at[pk.R_FY].set(fy0)
+    fstate = fstate.at[pk.R_THR : pk.R_THR + 3].set(1.0)
+    if accum_init is not None:
+        flat = accum_init.reshape(p_total, 3)
+        pad = n * m_slots - p_total
+        if pad:
+            flat = jnp.concatenate([flat, jnp.zeros((pad, 3), jnp.float32)], axis=0)
+        acc_rows = flat.reshape(m_slots, n, 3).transpose(0, 2, 1).reshape(3 * m_slots, n)
+        fstate = fstate.at[pk.R_ACC : pk.R_ACC + 3 * m_slots, :n].set(acc_rows)
+
+    spp = jnp.int32(spp)
+    alive0 = ((lane < n) & (spp > 0)).astype(jnp.uint32)
+    ustate = jnp.zeros((pk.U_ROWS, n_pad), jnp.uint32)
+    ustate = ustate.at[pk.U_SEED].set(seed)
+    ustate = ustate.at[pk.U_SIDX].set(1)
+    ustate = ustate.at[pk.U_ALIVE].set(alive0)
+    ustate = ustate.at[pk.U_LANE0].set(lane.astype(jnp.uint32))
+
+    scal = jnp.zeros((1, 8), jnp.int32)
+    scal = scal.at[0, mega_S_SPP].set(spp)
+    scal = scal.at[0, mega_S_NUMBER].set(jnp.uint32(number).astype(jnp.int32))
+    scal = scal.at[0, mega_S_Y0].set(jnp.int32(y0))
+    scal = scal.at[0, mega_S_SEEDY0].set(jnp.int32(seed_y0))
+    scal = scal.at[0, mega_S_OFFX].set(jnp.int32(offset_x))
+    vpr = jnp.concatenate(
+        [
+            vp.horizontal, vp.vertical, vp.upper_left, vp.cam_up, vp.cam_right,
+            vp.look_from, vp.aperture[None] if vp.aperture.ndim == 0 else vp.aperture,
+            vp.size, jnp.zeros((3,), jnp.float32),
+        ]
+    ).reshape(1, 24)
+
+    gs = jnp.asarray(g.gscal)
+    n_pages = g.geom.shape[0]
+    interpret = jax.default_backend() != "tpu"
+
+    def _pred_page(f, u):
+        """Sort key: marching lanes use their cell page; fresh lanes use the
+        page where their ray enters the grid box; dead lanes sort last."""
+        ox, oy, oz = f[0], f[1], f[2]
+        dx, dy, dz = f[3], f[4], f[5]
+        alive = u[pk.U_ALIVE] != 0
+        marching = u[pk.U_MARCH] != 0
+        cell = u[pk.U_CELL].astype(jnp.int32)
+        nscz = gs[0, P_NSCZ].astype(jnp.int32)
+        page_m = ((cell >> 12) >> 3) * nscz + ((cell & 4095) >> 3)
+
+        def axis_clip(o_c, d_c, lo, hi):
+            inv = 1.0 / d_c
+            ta = (lo - o_c) * inv
+            tb = (hi - o_c) * inv
+            t0 = jnp.minimum(ta, tb)
+            t1 = jnp.maximum(ta, tb)
+            deg = d_c == 0.0
+            inside = (o_c >= lo) & (o_c <= hi)
+            big = jnp.float32(3e30)
+            t0 = jnp.where(deg, jnp.where(inside, -big, big), t0)
+            t1 = jnp.where(deg, jnp.where(inside, big, -big), t1)
+            return t0, t1
+
+        t0x, t1x = axis_clip(ox, dx, gs[0, P_XLO], gs[0, P_XHI])
+        t0y, t1y = axis_clip(oy, dy, gs[0, P_YLO], gs[0, P_YHI])
+        t0z, t1z = axis_clip(oz, dz, gs[0, P_ZLO], gs[0, P_ZHI])
+        t_start = jnp.maximum(jnp.maximum(t0x, t0y), jnp.maximum(t0z, 1e-3))
+        t_end = jnp.minimum(jnp.minimum(t1x, t1y), t1z)
+        pxw = ox + t_start * dx
+        pzw = oz + t_start * dz
+        icx = jnp.clip(jnp.floor((pxw - gs[0, P_FMINX]) * gs[0, P_INVS]),
+                       0.0, gs[0, 10]).astype(jnp.int32)
+        icz = jnp.clip(jnp.floor((pzw - gs[0, P_FMINZ]) * gs[0, P_INVS]),
+                       0.0, gs[0, 11]).astype(jnp.int32)
+        page_p = (icx >> 3) * nscz + (icz >> 3)
+        page_p = jnp.where(t_start <= t_end, page_p, n_pages)
+        key = jnp.where(marching, page_m, page_p)
+        return jnp.where(alive, key, n_pages + 1)
+
+    def rebucket(f, u):
+        perm = jnp.argsort(_pred_page(f, u), stable=True)
+        return jnp.take(f, perm, axis=1), jnp.take(u, perm, axis=1)
+
+    def cond(st):
+        return jnp.any(st[1][pk.U_ALIVE] != 0)
+
+    def body(st):
+        f, u, it = st
+        f, u = rebucket(f, u)
+        f2, u2 = pk.paged_megakernel_step(
+            scal, vpr, gs, jnp.asarray(g.gtab), jnp.asarray(g.geom),
+            jnp.asarray(g.attrs), f, u,
+            m_slots=m_slots, n_lanes=n, p_total=p_total, width=width,
+            max_depth=max_depth, skip_tmax=skip_tmax, interpret=interpret,
+        )
+        return (f2, u2, it + pk.K_STEPS)
+
+    fstate, ustate, iters = jax.lax.while_loop(
+        cond, body, (fstate, ustate, jnp.int32(0))
+    )
+
+    # unpermute by lane0 (acc columns belong to logical lanes)
+    inv = jnp.argsort(ustate[pk.U_LANE0].astype(jnp.int32), stable=True)
+    acc_perm = fstate[pk.R_ACC : pk.R_ACC + 3 * m_slots]
+    acc_rows = jnp.take(acc_perm, inv, axis=1)[:, :n]
+    acc = (
+        acc_rows.reshape(m_slots, 3, n)
         .transpose(0, 2, 1)
         .reshape(m_slots * n, 3)[:p_total]
         .reshape(band_h, width, 3)

@@ -34,7 +34,7 @@ from ..ops.trace import (DeviceScene, prepare_scene, render_band,
 # the Pallas backend never materializes them and can take far larger bands.
 _TARGET_LANES = {
     "bruteforce": 1 << 14, "matmul": 1 << 18, "pallas": 1 << 19,
-    "mega": 1 << 21, "grid": 1 << 21,
+    "mega": 1 << 21, "grid": 1 << 21, "paged": 1 << 21,
 }
 
 
@@ -69,8 +69,11 @@ def resolve_backend(requested: str, device_scene) -> str:
     structure, ops/gridkernel.py) whenever auto resolves to the megakernel
     and the scene fits the uniform grid; brute force otherwise."""
     b = pick_backend(requested)
-    if b == "mega" and requested == "auto" and device_scene.grid is not None:
-        return "grid"
+    if b == "mega" and requested == "auto":
+        if device_scene.grid is not None:
+            return "grid"
+        if device_scene.paged is not None:
+            return "paged"
     return b
 
 

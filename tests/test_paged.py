@@ -1,0 +1,83 @@
+"""Paged two-level grid: builder + traversal parity on dense scenes.
+
+The paged backend (ops/pagedkernel.py + models/paged_grid.py) serves scenes
+past the flat grid's addressing reach (BASELINE config 5's 100k-sphere
+field).  Parity pins mirror tests/test_grid.py: agreement with the
+brute-force megakernel up to the pre-existing fp-chaos budget.
+"""
+
+import numpy as np
+import pytest
+
+from raytrace_tpu.models.paged_grid import build_paged_grid
+from raytrace_tpu.models.scene import generate_random_scene, random_sphere_field
+from raytrace_tpu.ops.pallas_intersect import sphere_table
+from raytrace_tpu.ops.trace import (prepare_scene, render_band_core,
+                                    viewport_arrays)
+from raytrace_tpu.runtime.renderer import reference_camera, resolve_backend
+
+W, H = 48, 27
+
+
+@pytest.fixture(scope="module")
+def dense():
+    # 2000 spheres over [-7,7]^2 ~ 10 spheres/unit^2 — the 100k scene's
+    # density regime at a CPU-testable size
+    return prepare_scene(random_sphere_field(2000, seed=1, extent=7.0))
+
+
+def _render(ds, backend, *, depth=6, spp=2, m=2):
+    vp = viewport_arrays(reference_camera(), W, H)
+    return np.asarray(render_band_core(
+        ds, vp, band_h=H, width=W, y0=np.int32(0), seed_y0=np.int32(0),
+        offset_x=np.int32(0), spp=np.int32(spp), number=np.uint32(0),
+        max_depth=depth, backend=backend, pixels_per_lane=m, skip_tmax=True))
+
+
+def test_builder_dense(dense):
+    g = dense.paged
+    assert g is not None
+    n_pages, r0, lanes = g.geom.shape
+    assert lanes == 128 and r0 % 4 == 0
+    assert g.attrs.shape[0] == n_pages and g.attrs.shape[2] == 128
+    # flat grid refused this scene (crowded cells), paged took it
+    assert dense.grid is None
+
+
+def test_builder_prefers_flat_grid_for_book_scene():
+    ds = prepare_scene(generate_random_scene(0.0))
+    assert ds.grid is not None and ds.paged is None
+
+
+def test_100k_scene_builds():
+    sc = random_sphere_field(100_000, seed=1, extent=50.0)
+    g = build_paged_grid(sc, sphere_table(sc))
+    assert g is not None
+    budget = g.geom.nbytes + g.attrs.nbytes
+    assert budget < 80 * 2**20, f"{budget/2**20:.0f} MB"
+
+
+def test_paged_matches_mega_within_chaos(dense):
+    """Agreement with brute force up to the fp-chaos budget (the XLA
+    brute-force backend itself disagrees with mega more)."""
+    a = _render(dense, "mega")
+    b = _render(dense, "paged")
+    bf = _render(dense, "bruteforce")
+    pm = int((np.abs(a - b).max(axis=2) > 0).sum())
+    mb = int((np.abs(a - bf).max(axis=2) > 0).sum())
+    assert pm <= max(3 * mb, 6), (pm, mb)
+    assert abs(a.mean() - b.mean()) / a.mean() < 2e-3
+
+
+def test_paged_shallow_bit_identical(dense):
+    a = _render(dense, "mega", depth=2, spp=1, m=1)
+    b = _render(dense, "paged", depth=2, spp=1, m=1)
+    assert np.array_equal(a, b)
+
+
+def test_auto_backend_picks_paged_for_dense():
+    import jax
+
+    ds = prepare_scene(random_sphere_field(2000, seed=1, extent=7.0))
+    expected = "paged" if jax.default_backend() == "tpu" else "matmul"
+    assert resolve_backend("auto", ds) == expected
