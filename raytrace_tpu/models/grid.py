@@ -44,10 +44,13 @@ POISON = np.float32(3e30)  # kc sentinel: disc < 0 -> NaN sqrt -> miss
 class GridTables(NamedTuple):
     """Device tables for the grid megakernel (all f32; see gridkernel.py)."""
 
-    ctab: np.ndarray  # [3*N_SLOTS*CB, 128] cell candidates: row (v*CB+cb),
-    #                   v = slot*3 + {0:cx, 1:cz, 2:kc}
-    itab: np.ndarray  # [N_SLOTS*CB, 128] candidate global sphere index,
-    #                   row (slot*CB+cb); empty slots carry 0 (never win)
+    ctab: np.ndarray  # [4*N_SLOTS*CB, 128] cell candidates: row (v*CB+cb),
+    #                   v = slot*4 + {0:cx, 1:cz, 2:kc, 3:global sphere id}.
+    #                   The id rides the march fetch so winner resolution is
+    #                   ONE atab gather instead of two dependent gathers
+    #                   (the itab hop sat on the kernel's latency-bound
+    #                   critical path; empty slots carry id 0 with kc
+    #                   POISON, so they never win)
     atab: np.ndarray  # [5*AB, 128] per-sphere shading attrs, row (v*AB+ab):
     #                   v in (mat, c0.rgb, attr).  Winner centers are carried
     #                   by the kernel (grid) or selected from gtab (globals);
@@ -141,16 +144,15 @@ def build_grid(scene, table: np.ndarray) -> Optional[GridTables]:
                 slots_id[k, cell] = np.float32(sphere)
                 counts[cell] = k + 1
 
-    # ctab rows: (slot*3 + v) * cb + block
-    ctab = np.zeros((3 * N_SLOTS * cb, CELL_LANES), np.float32)
-    itab = np.zeros((N_SLOTS * cb, CELL_LANES), np.float32)
+    # ctab rows: (slot*4 + v) * cb + block
+    ctab = np.zeros((4 * N_SLOTS * cb, CELL_LANES), np.float32)
     for s in range(N_SLOTS):
         for b in range(cb):
             sl = slice(b * CELL_LANES, (b + 1) * CELL_LANES)
-            ctab[(s * 3 + 0) * cb + b] = slots_cx[s, sl]
-            ctab[(s * 3 + 1) * cb + b] = slots_cz[s, sl]
-            ctab[(s * 3 + 2) * cb + b] = slots_kc[s, sl]
-            itab[s * cb + b] = slots_id[s, sl]
+            ctab[(s * 4 + 0) * cb + b] = slots_cx[s, sl]
+            ctab[(s * 4 + 1) * cb + b] = slots_cz[s, sl]
+            ctab[(s * 4 + 2) * cb + b] = slots_kc[s, sl]
+            ctab[(s * 4 + 3) * cb + b] = slots_id[s, sl]
 
     # attrs by global sphere id: mat, c0.rgb, attr (table cols 11, 13:16, 19)
     s_tot = table.shape[0]
@@ -195,4 +197,4 @@ def build_grid(scene, table: np.ndarray) -> Optional[GridTables]:
     gscal[0, G_CMAXX] = np.float32(cmax_x)
     gscal[0, G_CMAXZ] = np.float32(cmax_z)
 
-    return GridTables(ctab=ctab, itab=itab, atab=atab, gtab=gtab, gscal=gscal)
+    return GridTables(ctab=ctab, atab=atab, gtab=gtab, gscal=gscal)

@@ -19,9 +19,10 @@ Per wavefront iteration each lane is in one of two modes:
 
 Lanes whose march completed shade (same shader.rchit/rgen row math as the
 brute-force megakernel — materials, termination, accumulation, sample/pixel
-regen), with the winner's attributes fetched by two more gathers (candidate
-id, then 5 attr values — the winner's center rides in state rows and tex/c1
-exist only on globals) instead of the megakernel's one-hot MXU contraction.
+regen), with the winner's attributes fetched by ONE more gather (bkey is
+the global sphere id, so 5 attr values directly — the winner's center rides
+in state rows and tex/c1 exist only on globals) instead of the megakernel's
+one-hot MXU contraction.
 Lanes mid-march skip shading and continue next iteration.
 
 Exactness: bit-identical to the brute-force megakernel (tests pin it) — same
@@ -34,8 +35,8 @@ State layout (f32 rows; M = pixels_per_lane):
   0-2 o | 3-5 d | 6 fx | 7 fy | 8-10 thr | 11 t_best | 12 t_end | 13 t_nx
   | 14 t_nz | 15 bkey | 16-17 winner cx/cz | 18-20 cur.rgb | 21+3m+c acc
 u32 rows: 0 seed | 1 m | 2 sidx | 3 depth | 4 alive | 5 marching | 6 icx | 7 icz
-bkey encodes the winner: cell*4+slot for grid hits, 4096+sphere_id for
-global hits (resolved to a sphere id only at shading time); cur.rgb is the
+bkey encodes the winner: the global sphere id for grid hits (it rides the
+candidate fetch as a 4th value), 4096+sphere_id for global hits; cur.rgb is the
 running sum of the lane's current pixel, flushed to its acc slot on pixel
 advance (the acc rows live in the aliased output ref, not in loop carries).
 """
@@ -164,7 +165,7 @@ def _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a, cx, cy, cz, kc, *,
 
 
 def _iterate(st, acc_ref, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
-             itab, atab, *, m_slots, n_lanes, p_total, width, max_depth,
+             atab, *, m_slots, n_lanes, p_total, width, max_depth,
              tmin, tmax, skip_tmax, j_steps, cb, ab, ablate):
     """One wavefront iteration: [start new segments] -> [J DDA steps] ->
     [shade/accumulate/regen lanes whose segment completed].
@@ -248,23 +249,34 @@ def _iterate(st, acc_ref, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
     for _ in range(j_steps):
         cid = ((icx.astype(jnp.float32) - cminx) * ncz
                + (icz.astype(jnp.float32) - cminz)).astype(jnp.int32)
-        vals = _gather_rows(ctab, cid, blocks=cb, n_vals=3 * N_SLOTS)
+        vals = _gather_rows(ctab, cid, blocks=cb, n_vals=4 * N_SLOTS)
         if "fetch2" in ablate:  # additive cost probe: duplicate the fetch
-            v2 = _gather_rows(ctab, cid + 1, blocks=cb, n_vals=3 * N_SLOTS)
+            v2 = _gather_rows(ctab, cid + 1, blocks=cb, n_vals=4 * N_SLOTS)
             never = (seed == jnp.uint32(0xFFFFFFFF)) & (cid < -1)
             vals = jnp.where(never, v2, vals)
         for s in range(N_SLOTS):
             tc = _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a,
-                            vals[3 * s : 3 * s + 1, :], cy_u,
-                            vals[3 * s + 1 : 3 * s + 2, :],
-                            vals[3 * s + 2 : 3 * s + 3, :],
+                            vals[4 * s : 4 * s + 1, :], cy_u,
+                            vals[4 * s + 1 : 4 * s + 2, :],
+                            vals[4 * s + 2 : 4 * s + 3, :],
                             tmin=tmin, tmax=tmax, skip_tmax=skip_tmax)
             upd = marching & (tc < t_b)
             t_b = jnp.where(upd, tc, t_b)
-            bkey = jnp.where(
-                upd, cid.astype(jnp.float32) * N_SLOTS + np.float32(s), bkey)
-            wcx = jnp.where(upd, vals[3 * s : 3 * s + 1, :], wcx)
-            wcz = jnp.where(upd, vals[3 * s + 1 : 3 * s + 2, :], wcz)
+            bkey = jnp.where(upd, vals[4 * s + 3 : 4 * s + 4, :], bkey)
+            wcx = jnp.where(upd, vals[4 * s : 4 * s + 1, :], wcx)
+            wcz = jnp.where(upd, vals[4 * s + 1 : 4 * s + 2, :], wcz)
+        if "isect2" in ablate:  # additive cost probe: duplicate the 4-slot
+            never = (seed == jnp.uint32(0xFFFFFFFF)) & (cid < -1)  # quadratics
+            tacc = t_b
+            for s in range(N_SLOTS):
+                tc2 = _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a,
+                                 vals[4 * s : 4 * s + 1, :] + 1.0, cy_u,
+                                 vals[4 * s + 1 : 4 * s + 2, :],
+                                 vals[4 * s + 2 : 4 * s + 3, :],
+                                 tmin=tmin, tmax=tmax, skip_tmax=skip_tmax)
+                upd2 = marching & (tc2 < tacc)
+                tacc = jnp.where(upd2, tc2, tacc)
+            t_b = jnp.where(never, tacc, t_b)
         t_exit = jnp.minimum(t_nx, t_nz)
         cont = marching & (t_exit < t_b) & (t_exit < t_end)
         cross_x = t_nx <= t_nz
@@ -281,26 +293,42 @@ def _iterate(st, acc_ref, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
         t_nx = jnp.where(adv_x, t_nx + dt_x, t_nx)
         t_nz = jnp.where(adv_z, t_nz + dt_z, t_nz)
         marching = cont
+        if "dda2" in ablate:  # additive cost probe: duplicate DDA advance
+            never = (seed == jnp.uint32(0xFFFFFFFF)) & (cid < -2)
+            t_exit2 = jnp.minimum(t_nx + 0.5, t_nz)
+            cont2 = marching & (t_exit2 < t_b) & (t_exit2 < t_end)
+            cx2 = t_nx + 0.5 <= t_nz
+            a_x2 = cont2 & cx2
+            a_z2 = cont2 & ~cx2
+            icx2 = jnp.where(
+                a_x2,
+                jnp.clip(icx + step_x, cminx.astype(jnp.int32), cmaxx.astype(jnp.int32)),
+                icx)
+            icz2 = jnp.where(
+                a_z2,
+                jnp.clip(icz + step_z, cminz.astype(jnp.int32), cmaxz.astype(jnp.int32)),
+                icz)
+            icx = jnp.where(never, icx2, icx)
+            icz = jnp.where(never, icz2, icz)
+            t_nx = jnp.where(never & a_x2, t_nx + dt_x, t_nx)
+            t_nz = jnp.where(never & a_z2, t_nz + dt_z, t_nz)
+            marching = (marching & ~never) | (never & cont2)
 
     seg_done = alive & ~marching
     hit = t_b < BIG
 
-    # ---- winner resolution: bkey -> sphere id -> 12 attr rows --------------
+    # ---- winner resolution: bkey (global sphere id) -> 5 attr rows ---------
+    # bkey carries the id straight from the candidate fetch, so this is ONE
+    # gather; the previous cell*4+slot encoding needed an itab gather whose
+    # result FED the atab gather — two serialized gathers on the
+    # latency-bound critical path.
     is_direct = bkey >= _TAG
-    ckey = bkey.astype(jnp.int32)
-    slot = ckey & (N_SLOTS - 1)
-    cid_w = ckey >> 2  # N_SLOTS == 4
-    ivals = _gather_rows(itab, cid_w, blocks=cb, n_vals=N_SLOTS)
-    idxf = ivals[0:1, :]
-    for s in range(1, N_SLOTS):
-        idxf = jnp.where(slot == s, ivals[s : s + 1, :], idxf)
-    bidx = jnp.where(is_direct, bkey - _TAG, idxf).astype(jnp.int32)
+    bidx = jnp.where(is_direct, bkey - _TAG, bkey).astype(jnp.int32)
     at = _gather_rows(atab, bidx, blocks=ab, n_vals=5)
-    if "resolve2" in ablate:  # additive cost probe: duplicate itab+atab
-        iv2 = _gather_rows(itab, cid_w + 1, blocks=cb, n_vals=N_SLOTS)
+    if "resolve2" in ablate:  # additive cost probe: duplicate atab
         at2 = _gather_rows(atab, bidx + 1, blocks=ab, n_vals=5)
-        never = (seed == jnp.uint32(0xFFFFFFFF)) & (ckey < -1)
-        at = jnp.where(never, at2 + iv2[0:1, :], at)
+        never = (seed == jnp.uint32(0xFFFFFFFF)) & (bidx < -1)
+        at = jnp.where(never, at2, at)
 
     mat = at[0:1, :]
     c0x, c0y, c0z = at[1:2, :], at[2:3, :], at[3:4, :]
@@ -337,6 +365,22 @@ def _iterate(st, acc_ref, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
      seed_h) = shade_rows(ox, oy, oz, dx, dy, dz, t_b, seed,
                           cenx, ceny, cenz, mat, tex, c0x, c0y, c0z,
                           c1x, c1y, c1z, fuzz)
+    if "shade2" in ablate:  # additive cost probe: duplicate the shading
+        never = (seed == jnp.uint32(0xFFFFFFFF)) & (ckey < -1)
+        s2 = shade_rows(ox, oy, oz, dx, dy, dz, t_b + 1.0, seed,
+                        cenx, ceny, cenz, mat, tex, c0x, c0y, c0z,
+                        c1x, c1y, c1z, fuzz)
+        px_ = jnp.where(never, s2[0], px_)
+        py_ = jnp.where(never, s2[1], py_)
+        pz_ = jnp.where(never, s2[2], pz_)
+        ax = jnp.where(never, s2[3], ax)
+        ay = jnp.where(never, s2[4], ay)
+        az = jnp.where(never, s2[5], az)
+        sdx = jnp.where(never, s2[6], sdx)
+        sdy = jnp.where(never, s2[7], sdy)
+        sdz = jnp.where(never, s2[8], sdz)
+        does_scatter = does_scatter | (never & s2[9])
+        seed_h = jnp.where(never, s2[10], seed_h)
 
     # ---- termination & accumulation (shader.rgen:70-89) -------------------
     scatters = hit & does_scatter
@@ -436,7 +480,7 @@ def _iterate(st, acc_ref, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
     return st2
 
 
-def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab_ref, itab_ref,
+def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab_ref,
             atab_ref, fin_ref, uin_ref, fout_ref, uout_ref, acc_ref, *, m_slots,
             n_lanes, p_total, width, max_depth, tmin, tmax, k_steps, j_steps,
             skip_tmax, cb, ab, ablate):
@@ -445,7 +489,6 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab_ref, itab_ref,
         + pl.program_id(0) * TILE
     )
     ctab = ctab_ref[:, :]
-    itab = itab_ref[:, :]
     atab = atab_ref[:, :]
 
     st = (
@@ -481,7 +524,7 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab_ref, itab_ref,
     step = functools.partial(
         _iterate, acc_ref=acc_ref, lane=lane, scal_ref=scal_ref,
         vpr_ref=vpr_ref, gscal_ref=gscal_ref, gtab_ref=gtab_ref, ctab=ctab,
-        itab=itab, atab=atab, m_slots=m_slots, n_lanes=n_lanes,
+        atab=atab, m_slots=m_slots, n_lanes=n_lanes,
         p_total=p_total, width=width, max_depth=max_depth, tmin=tmin,
         tmax=tmax, skip_tmax=skip_tmax, j_steps=j_steps, cb=cb, ab=ab,
         ablate=ablate,
@@ -522,7 +565,7 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab_ref, itab_ref,
         "j_steps", "skip_tmax", "ablate", "interpret",
     ),
 )
-def grid_megakernel_step(scal, vpr, gscal, gtab, ctab, itab, atab, fstate,
+def grid_megakernel_step(scal, vpr, gscal, gtab, ctab, atab, fstate,
                          ustate, *, m_slots, n_lanes, p_total, width,
                          max_depth, k_steps=K_STEPS, j_steps=J_STEPS,
                          skip_tmax=False, ablate=(), interpret=False):
@@ -530,7 +573,7 @@ def grid_megakernel_step(scal, vpr, gscal, gtab, ctab, itab, atab, fstate,
     n_pad = fstate.shape[1]
     rf = f_rows(m_slots)
     grid = n_pad // TILE
-    cb = ctab.shape[0] // (3 * N_SLOTS)
+    cb = ctab.shape[0] // (4 * N_SLOTS)
     ab = atab.shape[0] // 5  # 5 attr values per sphere id (mat, c0.rgb, attr)
     kernel = functools.partial(
         _kernel, m_slots=m_slots, n_lanes=n_lanes, p_total=p_total,
@@ -548,7 +591,6 @@ def grid_megakernel_step(scal, vpr, gscal, gtab, ctab, itab, atab, fstate,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # gscal (1, 16) f32
             pl.BlockSpec(memory_space=pltpu.SMEM),  # gtab (8, 8) f32
             pl.BlockSpec(ctab.shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(itab.shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(atab.shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rf, TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
             pl.BlockSpec((U_ROWS, TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
@@ -561,10 +603,10 @@ def grid_megakernel_step(scal, vpr, gscal, gtab, ctab, itab, atab, fstate,
             jax.ShapeDtypeStruct((rf, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((U_ROWS, n_pad), jnp.uint32),
         ],
-        input_output_aliases={7: 0, 8: 1},  # buffer reuse only — every
+        input_output_aliases={6: 0, 7: 1},  # buffer reuse only — every
         # output row is still written (Mosaic does not preserve unwritten
         # rows of aliased outputs)
         scratch_shapes=[pltpu.VMEM((3 * m_slots, TILE), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(scal, vpr, gscal, gtab, ctab, itab, atab, fstate, ustate)
+    )(scal, vpr, gscal, gtab, ctab, atab, fstate, ustate)

@@ -248,6 +248,10 @@ def render_band_core(
     skip_tmax: bool = False,
     return_iters: bool = False,
     ablate: tuple = (),  # grid-kernel perf-ablation probes (static; debug)
+    grid_steps=None,  # (j_steps, k_steps) grid-kernel override (static) —
+    # MUST be an explicit arg: gridkernel.J_STEPS/K_STEPS module globals are
+    # read at trace time, so in-process sweeps that mutate them silently
+    # reuse the first compiled program (same jit cache key)
 ):
     """Render one row band; returns the accumulated color sum [band_h, W, 3].
 
@@ -271,7 +275,7 @@ def render_band_core(
             offset_x=offset_x, spp=spp, number=number, accum_init=accum_init,
             max_depth=max_depth, pixels_per_lane=pixels_per_lane,
             skip_tmax=skip_tmax, return_iters=return_iters, backend=backend,
-            ablate=ablate)
+            ablate=ablate, grid_steps=grid_steps)
     if backend == "paged":
         return _render_band_paged(
             scene, vp, band_h=band_h, width=width, y0=y0, seed_y0=seed_y0,
@@ -410,7 +414,8 @@ def render_band_core(
 
 def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
                       number, accum_init, max_depth, pixels_per_lane,
-                      skip_tmax, return_iters, backend="mega", ablate=()):
+                      skip_tmax, return_iters, backend="mega", ablate=(),
+                      grid_steps=None):
     """Megakernel driver: whole loop body in one Pallas call per iteration;
     state in row-major [rows, lanes] arrays so the host loop does zero layout
     conversion.  Semantics identical to the generic path (same RNG streams,
@@ -486,16 +491,18 @@ def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
 
     if backend == "grid":
         g = scene.grid
+        j_steps, k_steps = grid_steps if grid_steps is not None else (
+            mk.J_STEPS, mk.K_STEPS)
 
         def body(st):
             f, u, it = st
             f2, u2 = mk.grid_megakernel_step(
-                scal, vpr, g.gscal, g.gtab, g.ctab, g.itab, g.atab, f, u,
+                scal, vpr, g.gscal, g.gtab, g.ctab, g.atab, f, u,
                 m_slots=m_slots, n_lanes=n, p_total=p_total, width=width,
-                max_depth=max_depth, k_steps=mk.K_STEPS, j_steps=mk.J_STEPS,
+                max_depth=max_depth, k_steps=k_steps, j_steps=j_steps,
                 skip_tmax=skip_tmax, ablate=ablate, interpret=interpret,
             )
-            return (f2, u2, it + mk.K_STEPS)
+            return (f2, u2, it + k_steps)
     else:
         atab = scene.table[:, 8:24].T
 
@@ -688,7 +695,7 @@ render_band = jax.jit(
     render_band_core,
     static_argnames=(
         "band_h", "width", "max_depth", "backend", "pixels_per_lane",
-        "skip_tmax", "return_iters", "ablate",
+        "skip_tmax", "return_iters", "ablate", "grid_steps",
     ),
 )
 

@@ -91,14 +91,44 @@ class Renderer:
         if config.pixels_per_lane is not None:
             self.pixels_per_lane = config.pixels_per_lane
         else:
-            # target ~32K lanes (M up to 64): measured best total time at 1080p
-            self.pixels_per_lane = int(np.clip((w * h) >> 15, 1, 64))
+            # target ~32K lanes (M up to 64): measured best total time at
+            # 1080p.  Output is bit-identical for every M (tests pin it), so
+            # among M near the target pick the one minimizing lanes padded
+            # to the kernel's TILE: at 1080p the naive M=63 gives 32,914
+            # lanes -> 9 tiles of 4096 (11% dead lanes every iteration)
+            # while M=64 gives 32,400 -> 8 tiles (1% waste).
+            base = int(np.clip((w * h) >> 15, 1, 64))
+            tile = self._backend_tile()
+            if tile is None:
+                self.pixels_per_lane = base
+            else:
+                p = w * h
+
+                def padded(m):
+                    n = -(-p // m)
+                    return -(-n // tile) * tile - n
+
+                lo, hi = max(1, base - 4), min(64, base + 4)
+                self.pixels_per_lane = min(
+                    range(lo, hi + 1), key=lambda m: (padded(m), -m))
         target = _TARGET_LANES.get(self.backend, 1 << 18)
         self.chunk_rows = max(
             1, min(h, (target * self.pixels_per_lane) // max(w, 1))
         )
         self.vp = viewport_arrays(config_camera(config), w, h)
         self.skip_tmax = tmax_never_binds(self.scene, config_camera(config))
+
+    def _backend_tile(self):
+        """Lane-tile width of the wavefront backends (None for XLA paths)."""
+        if self.backend in ("grid", "paged"):
+            from ..ops.gridkernel import TILE
+
+            return TILE
+        if self.backend == "mega":
+            from ..ops.megakernel import TILE
+
+            return TILE
+        return None
 
     def set_scene(self, scene: SceneArrays) -> None:
         self.scene = scene
@@ -117,8 +147,13 @@ class Renderer:
             from ..ops import gridkernel as _gk
 
             ablate = tuple(sorted(_gk.ABLATE))
+            # read at call time and passed as a STATIC arg: module globals
+            # read at trace time would make in-process (j, k) sweeps reuse
+            # the first compiled program (same jit cache key)
+            grid_steps = (_gk.J_STEPS, _gk.K_STEPS)
         else:
             ablate = ()
+            grid_steps = None
         bands = []
         for band_y0 in range(0, h, self.chunk_rows):
             band_h = min(self.chunk_rows, h - band_y0)
@@ -140,6 +175,7 @@ class Renderer:
                     pixels_per_lane=self.pixels_per_lane,
                     skip_tmax=self.skip_tmax,
                     ablate=ablate,
+                    grid_steps=grid_steps,
                 )
             )
         import jax.numpy as jnp

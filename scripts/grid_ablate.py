@@ -21,7 +21,9 @@ from raytrace_tpu.runtime.renderer import Renderer
 
 W, H, SPP = 1920, 1080, int(os.environ.get("SWEEP_SPP", 200))
 ROUNDS = int(os.environ.get("SWEEP_ROUNDS", 5))
-VARIANTS = ["base", "fetch2", "resolve2", "global2", "camera2"]
+VARIANTS = os.environ.get(
+    "ABLATE_VARIANTS",
+    "base,fetch2,resolve2,global2,camera2,isect2,dda2,shade2").split(",")
 
 gk.J_STEPS = 1
 renderers = {}

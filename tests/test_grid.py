@@ -42,14 +42,17 @@ def _render(ds, backend, *, depth, spp, m=2):
 def test_builder_book_scene(book):
     g = book.grid
     assert g is not None
-    # 25x25 half-integer lattice incl. guard ring -> 5 cell blocks
-    assert g.ctab.shape == (60, 128) and g.itab.shape == (20, 128)
+    # 25x25 half-integer lattice incl. guard ring -> 5 cell blocks;
+    # 4 values per slot (cx, cz, kc, global sphere id)
+    assert g.ctab.shape == (80, 128)
     assert g.atab.shape == (20, 128) and g.gtab.shape == (4, 16)
     # globals: ground + 3 heroes (exactly — no padding rows needed)
     assert list(g.gtab[:4, 4]) == [0.0, 1.0, 2.0, 3.0]
     # every small sphere is registered in every cell its delta-enlarged AABB
     # overlaps: 1 cell when it fits inside one, up to 4 at a cell corner
-    ids = g.itab[g.itab > 0]
+    cb = g.ctab.shape[0] // 16
+    id_rows = g.ctab[[(s * 4 + 3) * cb + b for s in range(4) for b in range(cb)]]
+    ids = id_rows[id_rows > 0]
     counts = np.bincount(ids.astype(int), minlength=488)
     assert (counts[4:488] >= 1).all() and (counts[4:488] <= 4).all()
 
