@@ -69,6 +69,7 @@ from .shading_rows import shade_rows
 TILE = 4096
 K_STEPS = 10  # wavefront iterations per kernel invocation
 J_STEPS = 1  # DDA cell steps per wavefront iteration
+UNROLL = False  # statically unroll the K_STEPS loop (scheduling experiment)
 
 # f32 state rows.  R_CUR is the running color sum of the lane's CURRENT
 # pixel; it is flushed into the pixel's acc slot only when the lane advances
@@ -483,7 +484,7 @@ def _iterate(st, acc_ref, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
 def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab_ref,
             atab_ref, fin_ref, uin_ref, fout_ref, uout_ref, acc_ref, *, m_slots,
             n_lanes, p_total, width, max_depth, tmin, tmax, k_steps, j_steps,
-            skip_tmax, cb, ab, ablate):
+            skip_tmax, cb, ab, ablate, unroll):
     lane = (
         jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
         + pl.program_id(0) * TILE
@@ -530,10 +531,18 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab_ref,
         ablate=ablate,
     )
 
-    def body(_, st):
-        return step(st)
+    if unroll:
+        # static unroll: one basic block lets Mosaic schedule ACROSS
+        # iteration boundaries (iteration i+1's fetch gather depends only on
+        # the march advance early in iteration i's chain, so it can overlap
+        # i's resolve/shade tail — a fori_loop back edge forbids that)
+        for _ in range(k_steps):
+            st = step(st)
+    else:
+        def body(_, st):
+            return step(st)
 
-    st = jax.lax.fori_loop(0, k_steps, body, st)
+        st = jax.lax.fori_loop(0, k_steps, body, st)
 
     (ox, oy, oz, dx, dy, dz, fx, fy, tx_, ty_, tz_,
      t_b, t_end, t_nx, t_nz, bkey, wcx, wcz, cur_x, cur_y, cur_z,
@@ -562,13 +571,14 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab_ref,
     jax.jit,
     static_argnames=(
         "m_slots", "n_lanes", "p_total", "width", "max_depth", "k_steps",
-        "j_steps", "skip_tmax", "ablate", "interpret",
+        "j_steps", "skip_tmax", "ablate", "interpret", "unroll",
     ),
 )
 def grid_megakernel_step(scal, vpr, gscal, gtab, ctab, atab, fstate,
                          ustate, *, m_slots, n_lanes, p_total, width,
                          max_depth, k_steps=K_STEPS, j_steps=J_STEPS,
-                         skip_tmax=False, ablate=(), interpret=False):
+                         skip_tmax=False, ablate=(), interpret=False,
+                         unroll=False):
     """``k_steps`` grid-traced wavefront iterations over all lanes."""
     n_pad = fstate.shape[1]
     rf = f_rows(m_slots)
@@ -580,7 +590,7 @@ def grid_megakernel_step(scal, vpr, gscal, gtab, ctab, atab, fstate,
         width=width, max_depth=max_depth, tmin=np.float32(config.T_MIN),
         tmax=np.float32(config.MAX_RAY_COLLISION_DISTANCE), k_steps=k_steps,
         j_steps=j_steps, skip_tmax=skip_tmax, cb=cb, ab=ab,
-        ablate=frozenset(ablate),
+        ablate=frozenset(ablate), unroll=unroll,
     )
     return pl.pallas_call(
         kernel,

@@ -491,8 +491,10 @@ def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
 
     if backend == "grid":
         g = scene.grid
-        j_steps, k_steps = grid_steps if grid_steps is not None else (
-            mk.J_STEPS, mk.K_STEPS)
+        gsteps = grid_steps if grid_steps is not None else (
+            mk.J_STEPS, mk.K_STEPS, mk.UNROLL)
+        j_steps, k_steps = gsteps[0], gsteps[1]
+        unroll = gsteps[2] if len(gsteps) > 2 else False
 
         def body(st):
             f, u, it = st
@@ -501,6 +503,7 @@ def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
                 m_slots=m_slots, n_lanes=n, p_total=p_total, width=width,
                 max_depth=max_depth, k_steps=k_steps, j_steps=j_steps,
                 skip_tmax=skip_tmax, ablate=ablate, interpret=interpret,
+                unroll=unroll,
             )
             return (f2, u2, it + k_steps)
     else:

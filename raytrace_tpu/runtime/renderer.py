@@ -150,7 +150,7 @@ class Renderer:
             # read at call time and passed as a STATIC arg: module globals
             # read at trace time would make in-process (j, k) sweeps reuse
             # the first compiled program (same jit cache key)
-            grid_steps = (_gk.J_STEPS, _gk.K_STEPS)
+            grid_steps = (_gk.J_STEPS, _gk.K_STEPS, _gk.UNROLL)
         else:
             ablate = ()
             grid_steps = None
