@@ -107,3 +107,20 @@ def test_sharded_paged_backend():
     diff = np.any(single != multi, axis=2)
     assert diff.mean() <= 0.01, f"{diff.sum()} pixels differ"
     np.testing.assert_allclose(multi, single, rtol=0, atol=0.2)
+
+
+def test_sharded_grid_backend():
+    """The production (auto-on-TPU) grid-DDA backend composes with shard_map
+    row bands; the book scene is the grid's own regime."""
+    from raytrace_tpu.models.scene import generate_random_scene
+
+    cfg = RenderConfig(samples=2, width=32, height=16, max_depth=5,
+                       backend="grid", chips=4, pixels_per_lane=2)
+    sc = generate_random_scene(0.0)
+    multi, _ = MultiChipRenderer(cfg, scene=sc).render(2)
+    single, _ = Renderer(cfg, scene=sc).render(2)
+    single, multi = np.asarray(single), np.asarray(multi)
+    # same interpret-mode chaos budget as the paged test above
+    diff = np.any(single != multi, axis=2)
+    assert diff.mean() <= 0.01, f"{diff.sum()} pixels differ"
+    np.testing.assert_allclose(multi, single, rtol=0, atol=0.2)
