@@ -19,7 +19,7 @@ HELP = """\
 --height <height>                 # Image height
 --gpus <count>                    # Max used TPU chips count
 --out <path>                      # Output PNG path (default render.png)
---backend <auto|grid|mega|matmul|bruteforce|pallas>  # Intersection backend
+--backend <auto|grid|paged|mega|matmul|bruteforce|pallas>  # Intersection backend
 --depth <count>                   # Max bounce depth (default 50)
 --time <seconds>                  # Scene animation time (default 0)
 --samples-per-call <count>        # Progressive accumulation chunk
