@@ -172,3 +172,21 @@ def test_golden_check_runs_on_cpu():
     # bugs like unwritten aliased-output rows)
     res = golden_check("grid", multi_tile=True)
     assert res["ok"], res
+
+
+def test_pixels_per_lane_minimizes_tile_padding():
+    """The auto pixels_per_lane pick minimizes lanes padded to the kernel
+    TILE: at 1080p the naive target M=63 needs 9 tiles of 4096 (11% dead
+    lanes per iteration) while M=64 needs 8 (1%)."""
+    from raytrace_tpu.config import RenderConfig
+    from raytrace_tpu.ops.gridkernel import TILE
+    from raytrace_tpu.runtime.renderer import Renderer
+
+    r = Renderer(RenderConfig(samples=1, width=1920, height=1080, backend="grid"))
+    assert r.pixels_per_lane == 64
+    n = -(-1920 * 1080 // r.pixels_per_lane)
+    assert -(-n // TILE) == 8  # tiles
+    # explicit config still wins
+    r2 = Renderer(RenderConfig(samples=1, width=1920, height=1080,
+                               backend="grid", pixels_per_lane=63))
+    assert r2.pixels_per_lane == 63
