@@ -97,6 +97,9 @@ def main() -> int:
                 "baseline_s": BASELINE_S,
                 "baseline_hw": "RX 6800 XT (reference README.md:62)",
                 "samples_per_sec": round(sps, 0),
+                # the reference README's other headline: 1 spp @1080p frame
+                # time (1.25 ms on the RX 6800 XT, README.md:61)
+                "spp1_ms_est": round(width * height / sps * 1e3, 2),
                 "measured": measured,
                 "backend": r.backend,
                 "numeric_check": numeric_check,
