@@ -531,7 +531,28 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab_ref,
         ablate=ablate,
     )
 
-    if unroll:
+    if "state2" in ablate:
+        # register-pressure probe: carry 8 EXTRA live rows through the loop
+        # (each row = TILE/1024 vregs).  If the kernel's unprobed majority
+        # cost is state-row vreg pressure / spills, this shows a clear
+        # slope; if it's flat, state-packing refactors are pointless.
+        extra = tuple(
+            fin_ref[i : i + 1, :] * np.float32(1e-30) for i in range(8))
+
+        def body2(_, c):
+            st, ex = c
+            st2 = step(st)
+            # mutate per iteration so the rows can't be hoisted as loop
+            # invariants; 1e-30-scaled so values stay tiny and unused
+            ex2 = tuple(e + st2[11] * np.float32(1e-30) for e in ex)
+            return (st2, ex2)
+
+        st, extra = jax.lax.fori_loop(0, k_steps, body2, (st, extra))
+        # sink the probe rows so they stay live (~1e-28 acc perturbation —
+        # the state2 variant is a timing probe, not a production image path;
+        # a *0.0 sink would risk algebraic simplification killing the rows)
+        acc_ref[0:1, :] = acc_ref[0:1, :] + sum(extra) * np.float32(1e-30)
+    elif unroll:
         # static unroll: one basic block lets Mosaic schedule ACROSS
         # iteration boundaries (iteration i+1's fetch gather depends only on
         # the march advance early in iteration i's chain, so it can overlap
