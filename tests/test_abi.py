@@ -35,3 +35,24 @@ def test_ctypes_ray_trace_smoke(tmp_path, monkeypatch, capfd):
     out = capfd.readouterr().out
     assert "duration_per_frame" in out
     assert os.path.exists(tmp_path / "render.png")
+
+
+def test_native_demo_exe(tmp_path):
+    """The thin native executable (native/main.c, the reference's
+    RayTracingGPUVulkan analogue) links the shared library and renders:
+    exe -> libraytrace.so -> embedded CPython -> JAX."""
+    _lib_path()  # ensures the native build ran
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    exe = os.path.join(root, "native", "build", "raytrace_demo")
+    if not os.path.exists(exe):
+        subprocess.run(["make", "-C", os.path.join(root, "native")],
+                       check=True, capture_output=True)
+    env = dict(os.environ, PYTHONPATH=root, JAX_PLATFORMS="cpu")
+    res = subprocess.run(
+        [exe, "--samples", "2", "--width", "32", "--height", "18",
+         "--store", "--bogus"],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr
+    assert "duration_per_frame" in res.stdout
+    assert "unknown argument: --bogus" in res.stderr  # main.cpp:49 behavior
+    assert (tmp_path / "render.png").exists()
