@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import config
-from ..models.paged_grid import (F_AXIS, P_CY, P_FMAXX, P_FMAXZ, P_FMINX,
+from ..models.paged_grid import (P_CY, P_FMAXX, P_FMAXZ, P_FMINX,
                                  P_FMINZ, P_INVS, P_NSCZ, P_S, P_XHI, P_XLO,
                                  P_YHI, P_YLO, P_ZHI, P_ZLO)
 from . import rng as rngops
