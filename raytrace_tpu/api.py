@@ -44,6 +44,7 @@ def ray_trace(
     max_depth: int = 50,
     samples_per_call: Optional[int] = None,
     accum_dtype: str = "float32",
+    preview: bool = False,
 ) -> np.ndarray:
     """Drop-in analogue of the reference C ABI entry point.
 
@@ -67,7 +68,27 @@ def ray_trace(
         accum_dtype=accum_dtype,
     )
     t0 = time.perf_counter()
-    img = render_image(config)
+    if preview and gpu_count == 1:
+        # progressive preview: write the running image after every call —
+        # the headless analogue of the reference's live window (window.hpp)
+        from .ops.image import accum_to_u8
+        from .runtime.renderer import Renderer
+        from .utils.png import write_png
+
+        import dataclasses
+
+        if config.samples_per_call is None:
+            config = dataclasses.replace(
+                config, samples_per_call=max(1, samples // 10))
+        r = Renderer(config)
+
+        def on_chunk(accum, done):
+            write_png(out_path, np.asarray(accum_to_u8(accum, done)))
+
+        accum, total = r.render(samples, on_chunk=on_chunk)
+        img = np.asarray(accum_to_u8(accum, total))
+    else:
+        img = render_image(config)
     dpf = time.perf_counter() - t0
     print(f"duration_per_frame: {dpf}")
     if store_render_result:

@@ -182,10 +182,14 @@ class Renderer:
 
         return jnp.concatenate(bands, axis=0)
 
-    def render(self, samples: Optional[int] = None):
+    def render(self, samples: Optional[int] = None, on_chunk=None):
         """Full render: ``samples`` total spp, split into progressive calls of
         ``config.samples_per_call`` (reference runs everything in one call,
         quirk Q3).  Returns (accum_sum [H,W,3], total_spp).
+
+        ``on_chunk(accum, samples_done)`` fires after each progressive call —
+        the headless analogue of the reference's live window updating every
+        frame (the CLI's --preview writes the running PNG from it).
 
         accum_dtype="float64" reproduces the reference's dvec3 accumulation
         semantics (shader.rgen:55, quirk Q5): each call's f32 chunk sum is
@@ -207,6 +211,8 @@ class Renderer:
                 accum64 = chunk if accum64 is None else accum64 + chunk
                 done += spp
                 number += 1
+                if on_chunk is not None:
+                    on_chunk(accum64, done)
             return accum64, total
         if cfg.accum_dtype != "float32":
             raise ValueError(f"unsupported accum_dtype: {cfg.accum_dtype!r}")
@@ -216,6 +222,8 @@ class Renderer:
             accum = self.render_call(spp, number=number, accum=accum)
             done += spp
             number += 1
+            if on_chunk is not None:
+                on_chunk(accum, done)
         return accum, total
 
     def render_u8(self, samples: Optional[int] = None) -> np.ndarray:

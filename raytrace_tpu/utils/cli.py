@@ -24,6 +24,7 @@ HELP = """\
 --time <seconds>                  # Scene animation time (default 0)
 --samples-per-call <count>        # Progressive accumulation chunk
 --accum <float32|float64>         # Cross-call accumulator dtype (Q5 dvec3)
+--preview                         # Write the running PNG after each call
 --frames <count>                  # Animated frame loop (0 = adaptive window)
 --checkpoint <path>               # Resume/checkpoint progressive renders
 """
@@ -69,6 +70,8 @@ def parse_args(argv):
             extras["samples_per_call"] = int(_take())
         elif a == "--accum":
             extras["accum_dtype"] = _take()
+        elif a == "--preview":
+            extras["preview"] = True
         elif a == "--frames":
             extras["_frames"] = int(_take())
         elif a == "--checkpoint":

@@ -43,3 +43,19 @@ def test_ray_trace_multichip(tmp_path):
         gpu_count=4, out_path=out, backend="matmul", max_depth=6)
     assert img.shape == (24, 32, 3)
     assert os.path.exists(out)
+
+
+def test_preview_matches_progressive(tmp_path, monkeypatch):
+    """--preview writes the running PNG after each call and produces the
+    exact image of a plain progressive render (same per-call numbering)."""
+    import numpy as np
+
+    from raytrace_tpu.api import ray_trace
+
+    monkeypatch.chdir(tmp_path)
+    img = ray_trace(4, True, 24, 12, 1, backend="matmul", max_depth=5,
+                    preview=True)
+    assert (tmp_path / "render.png").exists()
+    img2 = ray_trace(4, False, 24, 12, 1, backend="matmul", max_depth=5,
+                     samples_per_call=1)
+    assert np.array_equal(img, img2)
