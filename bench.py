@@ -37,10 +37,12 @@ def main() -> int:
     # chunked progressive calls: a single multi-hundred-thousand-iteration
     # device execution can trip TPU runtime watchdogs (~100 s limit), but
     # each call pays its own wavefront straggler tail — so use the largest
-    # safe chunk: 2500 spp is ~36 s of device time at current throughput
-    # (bit-identical output for any chunking; measured 2500 vs 1000 saves
-    # ~4% total wall)
-    per_call = int(os.environ.get("BENCH_SPP_PER_CALL", 2500))
+    # safe chunk for the live chip (runtime/chips.py; 2500 spp ~ 32 s of
+    # v5e-lite device time; bit-identical output for any chunking)
+    from raytrace_tpu.runtime.chips import profile_for
+
+    per_call = int(os.environ.get("BENCH_SPP_PER_CALL",
+                                  profile_for().samples_per_call))
     cfg = RenderConfig(
         samples=target_spp, width=width, height=height, backend=backend,
         samples_per_call=min(per_call, target_spp),
@@ -54,7 +56,7 @@ def main() -> int:
 
     # compiled-kernel numerics vs the CPU-oracle golden, recorded in the
     # bench JSON (the hardware numeric check is a per-run artifact)
-    from raytrace_tpu.runtime.validation import golden_check
+    from raytrace_tpu.runtime.validation import bitident_check, golden_check
 
     try:
         numeric_check = golden_check(r.backend)
@@ -62,6 +64,43 @@ def main() -> int:
     except Exception as e:  # never let validation sink the bench number
         numeric_check = {"backend": r.backend, "ok": False, "error": str(e)[:200]}
         numeric_check_mt = numeric_check
+    try:
+        # grid==mega bit-identity on the live hardware (same-graph Mosaic
+        # fp), recorded per run — not just the interpret-mode test pin
+        bit_check = bitident_check("grid", "mega") if r.backend == "grid" else None
+    except Exception as e:
+        bit_check = {"bit_identical": False, "error": str(e)[:200]}
+    try:
+        # in-kernel call merge == host-loop calls, bitwise on hardware
+        from raytrace_tpu.runtime.validation import merge_check
+
+        mrg_check = merge_check() if r.backend == "grid" else None
+    except Exception as e:
+        mrg_check = {"bit_identical": False, "error": str(e)[:200]}
+
+    # the reference README's other headline is the real 1-spp frame time
+    # (1.25 ms @1080p, README.md:61): measure actual 1-spp dispatches —
+    # the extrapolated spp1_ms_est excludes per-call fixed costs and the
+    # wavefront tail, which dominate a real 1-spp frame.  Two numbers:
+    # device execution (synced via a 12-byte fetch) and the end-to-end u8
+    # frame (on-device tonemap + full image readback) — through the axon
+    # relay the readback runs at ~25 MB/s and dominates; on a directly
+    # attached host it would be PCIe-speed (see docs/PERFORMANCE.md).
+    from raytrace_tpu.ops import image as imageops
+
+    np.asarray(r.render_call(1))  # warm the 1-spp path
+    exec_ms, frame_ms = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = r.render_call(1)
+        np.asarray(acc[:1, :1, :])  # full sync, negligible transfer
+        exec_ms.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        acc = r.render_call(1)
+        np.asarray(imageops.accum_to_u8(acc, 1))
+        frame_ms.append(time.perf_counter() - t0)
+    spp1_exec_ms = sorted(exec_ms)[1] * 1e3
+    spp1_ms = sorted(frame_ms)[1] * 1e3
 
     # timed probe to estimate throughput; large enough that the wavefront
     # tail (which amortizes with spp) doesn't skew the extrapolation
@@ -71,6 +110,17 @@ def main() -> int:
     probe_t = time.perf_counter() - t0
     sps = width * height * probe_spp / probe_t
     projected = width * height * target_spp / sps
+
+    # in-kernel call merge: group progressive calls into single dispatches
+    # of <= ~55 s device time (watchdog headroom) — each merged call
+    # boundary skips one wavefront drain; output is bit-identical
+    if r.backend == "grid":
+        import dataclasses
+
+        est_call_s = width * height * min(per_call, target_spp) / sps
+        group = max(1, int(55.0 / max(est_call_s, 1e-3)))
+        if group > 1:
+            r = Renderer(dataclasses.replace(cfg, calls_per_exec=group))
 
     if projected <= budget_s:
         try:
@@ -100,10 +150,14 @@ def main() -> int:
                 # the reference README's other headline: 1 spp @1080p frame
                 # time (1.25 ms on the RX 6800 XT, README.md:61)
                 "spp1_ms_est": round(width * height / sps * 1e3, 2),
+                "spp1_ms_measured": round(spp1_ms, 2),
+                "spp1_ms_exec": round(spp1_exec_ms, 2),
                 "measured": measured,
                 "backend": r.backend,
                 "numeric_check": numeric_check,
                 "numeric_check_multitile": numeric_check_mt,
+                "bitident_check": bit_check,
+                "merge_check": mrg_check,
                 "device": str(jax.devices()[0]),
             }
         )

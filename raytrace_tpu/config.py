@@ -50,6 +50,11 @@ class RenderConfig:
     chips: int = 1  # --gpus analogue: TPU chips to shard row bands over
     max_depth: int = MAX_DEPTH
     samples_per_call: Optional[int] = None  # None = all in one call (reference Q3)
+    calls_per_exec: int = 1  # grid backend: progressive calls merged into one
+    # device dispatch (in-kernel call merge — bit-identical to the host loop,
+    # but without the per-call wavefront drain).  Keep each dispatch under
+    # ~60 s of device time: very long single executions can trip the TPU
+    # runtime watchdog (CLAUDE.md).
     backend: str = "auto"  # auto|mega|pallas|matmul|bruteforce (trace.py)
     scene_time: float = 0.0  # hero-sphere animation time (scene.h:82-83)
     accum_dtype: str = "float32"  # reference uses dvec3 (Q5); f32 validated in tests

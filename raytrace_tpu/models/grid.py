@@ -44,14 +44,16 @@ POISON = np.float32(3e30)  # kc sentinel: disc < 0 -> NaN sqrt -> miss
 class GridTables(NamedTuple):
     """Device tables for the grid megakernel (all f32; see gridkernel.py)."""
 
-    ctab: np.ndarray  # [4*N_SLOTS*CB, 128] cell candidates: row (v*CB+cb),
+    ctab: np.ndarray  # [CB*4*N_SLOTS, 128] cell candidates, BLOCK-MAJOR:
+    #                   row (cb*16 + v),
     #                   v = slot*4 + {0:cx, 1:cz, 2:kc, 3:global sphere id}.
     #                   The id rides the march fetch so winner resolution is
     #                   ONE atab gather instead of two dependent gathers
     #                   (the itab hop sat on the kernel's latency-bound
     #                   critical path; empty slots carry id 0 with kc
     #                   POISON, so they never win)
-    atab: np.ndarray  # [5*AB, 128] per-sphere shading attrs, row (v*AB+ab):
+    atab: np.ndarray  # [AB*8, 128] per-sphere shading attrs, row (ab*8+v),
+    #                   v in 0..4 (rows 5-7 of each block are alignment pad):
     #                   v in (mat, c0.rgb, attr).  Winner centers are carried
     #                   by the kernel (grid) or selected from gtab (globals);
     #                   tex/c1 exist only on globals (builder requirement)
@@ -91,6 +93,11 @@ def build_grid(scene, table: np.ndarray) -> Optional[GridTables]:
     g_idx = idx_all[~small]
     s_idx = idx_all[small]
     if len(g_idx) > MAX_GLOBALS or len(s_idx) == 0:
+        return None
+    # bkey tags global winners as _TAG + id and grid winners as the raw id;
+    # a grid sphere id >= _TAG would be misread as a global hit, so scenes
+    # with that many spheres fall back to brute force / the paged grid
+    if n >= 4096:  # gridkernel._TAG
         return None
     cy = centers[s_idx, 1]
     if not np.all(cy == cy[0]):
@@ -144,15 +151,18 @@ def build_grid(scene, table: np.ndarray) -> Optional[GridTables]:
                 slots_id[k, cell] = np.float32(sphere)
                 counts[cell] = k + 1
 
-    # ctab rows: (slot*4 + v) * cb + block
-    ctab = np.zeros((4 * N_SLOTS * cb, CELL_LANES), np.float32)
+    # ctab rows BLOCK-MAJOR: block * (4*N_SLOTS) + (slot*4 + v) — the whole
+    # 16-value block-select then runs as [16, 128] ops, not 16x [1, 128]
+    # (gridkernel._gather_rows)
+    nv = 4 * N_SLOTS
+    ctab = np.zeros((nv * cb, CELL_LANES), np.float32)
     for s in range(N_SLOTS):
         for b in range(cb):
             sl = slice(b * CELL_LANES, (b + 1) * CELL_LANES)
-            ctab[(s * 4 + 0) * cb + b] = slots_cx[s, sl]
-            ctab[(s * 4 + 1) * cb + b] = slots_cz[s, sl]
-            ctab[(s * 4 + 2) * cb + b] = slots_kc[s, sl]
-            ctab[(s * 4 + 3) * cb + b] = slots_id[s, sl]
+            ctab[b * nv + s * 4 + 0] = slots_cx[s, sl]
+            ctab[b * nv + s * 4 + 1] = slots_cz[s, sl]
+            ctab[b * nv + s * 4 + 2] = slots_kc[s, sl]
+            ctab[b * nv + s * 4 + 3] = slots_id[s, sl]
 
     # attrs by global sphere id: mat, c0.rgb, attr (table cols 11, 13:16, 19)
     s_tot = table.shape[0]
@@ -162,10 +172,14 @@ def build_grid(scene, table: np.ndarray) -> Optional[GridTables]:
     attrs[0, :s_tot] = table[:, 11]  # mat
     attrs[1:4, :s_tot] = table[:, 13:16].T  # c0
     attrs[4, :s_tot] = table[:, 19]  # attr (fuzz / refraction index)
-    atab = np.zeros((5 * ab, CELL_LANES), np.float32)
+    # block-major with an 8-row stride (3 pad rows per block): Mosaic can
+    # only concatenate chunk slices whose sublane offsets agree, so block
+    # starts must be 8-aligned (a 5-row stride puts successive chunks at
+    # offsets {0,4,...} and the lowering rejects the lane-concat)
+    atab = np.zeros((8 * ab, CELL_LANES), np.float32)
     for v in range(5):
         for b in range(ab):
-            atab[v * ab + b] = attrs[v, b * CELL_LANES : (b + 1) * CELL_LANES]
+            atab[b * 8 + v] = attrs[v, b * CELL_LANES : (b + 1) * CELL_LANES]
 
     g_pad = max(4, len(g_idx))
     gtab = np.zeros((g_pad, 16), np.float32)

@@ -34,7 +34,8 @@ makes DDA fp slop unable to skip a reachable sphere (models/grid.py).
 State layout (f32 rows; M = pixels_per_lane):
   0-2 o | 3-5 d | 6 fx | 7 fy | 8-10 thr | 11 t_best | 12 t_end | 13 t_nx
   | 14 t_nz | 15 bkey | 16-17 winner cx/cz | 18-20 cur.rgb | 21+3m+c acc
-u32 rows: 0 seed | 1 m | 2 sidx | 3 depth | 4 alive | 5 marching | 6 icx | 7 icz
+u32 rows: 0 seed | 1 m | 2 sidx | 3 depth | 4 alive | 5 marching | 6 icx
+  | 7 icz | 8 call (progressive-call index of the in-kernel call merge)
 bkey encodes the winner: the global sphere id for grid hits (it rides the
 candidate fetch as a 4th value), 4096+sphere_id for global hits; cur.rgb is the
 running sum of the lane's current pixel, flushed to its acc slot on pixel
@@ -56,8 +57,8 @@ from ..models.grid import (G_CMAXX, G_CMAXZ, G_CMINX, G_CMINZ, G_CY, G_NCZ,
                            G_XHI, G_XLO, G_YHI, G_YLO, G_ZHI, G_ZLO, N_SLOTS)
 from . import rng as rngops
 from .intersect import BIG
-from .megakernel import (_SKY, S_NUMBER, S_OFFX, S_SEEDY0, S_SPP, S_Y0,
-                         _camera_rays_rows, _norm3, _vec3)
+from .megakernel import (_SKY, S_NCALLS, S_NUMBER, S_OFFX, S_SEEDY0, S_SPP,
+                         S_SPPLAST, S_Y0, _camera_rays_rows, _norm3, _vec3)
 from .shading_rows import shade_rows
 
 # Lanes per grid step.  Unlike the brute-force megakernel (whose [S, T]
@@ -70,6 +71,7 @@ TILE = 4096
 K_STEPS = 10  # wavefront iterations per kernel invocation
 J_STEPS = 1  # DDA cell steps per wavefront iteration
 UNROLL = False  # statically unroll the K_STEPS loop (scheduling experiment)
+FUSE = 1  # 128-lane chunks per dynamic_gather op (stacked-table fusion)
 
 # f32 state rows.  R_CUR is the running color sum of the lane's CURRENT
 # pixel; it is flushed into the pixel's acc slot only when the lane advances
@@ -83,7 +85,8 @@ R_CUR, R_ACC = 18, 21
 R_HDR = 21  # header rows (everything before the acc slots)
 # u32 state rows
 U_SEED, U_M, U_SIDX, U_DEPTH, U_ALIVE, U_MARCH, U_ICX, U_ICZ = range(8)
-U_ROWS = 8
+U_CALL = 8  # current progressive-call index within a merged dispatch
+U_ROWS = 9  # block sublane dim == array dim (exact-dim rule)
 
 _TAG = np.float32(4096.0)  # bkey values >= _TAG are direct sphere ids
 
@@ -100,32 +103,64 @@ def f_rows(m_slots: int) -> int:
     return -(-r // 8) * 8
 
 
-def _gather_rows(tab, cid, *, blocks, n_vals):
+def _gather_rows(tab, cid, *, blocks, n_vals, stride=None, fuse=1,
+                 narrow_select=False):
     """Per-lane fetch of ``n_vals`` f32 values from a blocked lane-table.
 
-    tab: [n_vals*blocks, 128] with row (v*blocks + b) holding value v of
-    entries b*128..b*128+127.  cid: [1, T] i32 entry ids (T % 128 == 0).
+    tab: BLOCK-MAJOR [blocks*stride, 128] (``fuse`` stacked copies when
+    fuse > 1): row (b*stride + v) holds value v of entries
+    b*128..b*128+127; ``stride`` (default n_vals) must be a multiple of 8
+    when n_vals isn't — Mosaic can only concatenate chunk slices whose
+    sublane offsets agree, so block starts must be sublane-aligned.
+    cid: [1, T] i32 entry ids (T % 128 == 0).
     Returns [n_vals, T].  Mosaic lowers jnp.take_along_axis(axis=1) to
     tpu.dynamic_gather, which requires 128-wide tables — hence the per-128-
     lane chunking (measured ~22 ns per chunked gather, scripts/bench_gather).
+
+    Block-major row order makes the block-select a ``blocks-1``-deep chain of
+    [n_vals, 128] selects (2 vregs each at n_vals=16) instead of the old
+    value-major layout's n_vals*(blocks-1) single-sublane [1, 128] selects —
+    at cb=5/TILE=4096 that is 128 vs 2048 vreg-ops per fetch.
+    ``narrow_select=True`` reproduces the old op structure for A/B ablation
+    (same values gathered, value-major select cost profile).
+
+    ``fuse``: gather that many 128-lane chunks in ONE dynamic_gather against
+    the stacked table (chunk i's index rows address copy i) — amortizes the
+    per-op fixed cost (~60 ns) across chunks.
     """
     t = cid.shape[1]
     nb = t // 128
     lo = (cid & 127).reshape(nb, 128)
     hi = (cid >> 7).reshape(nb, 128)
-    rows = tab.shape[0]
+    stride = n_vals if stride is None else stride
+    rows = blocks * stride  # rows of ONE table copy
     chunks = []
-    for rb in range(nb):
-        lo_b = jax.lax.broadcast_in_dim(lo[rb : rb + 1, :], (rows, 128), (0, 1))
-        g = jnp.take_along_axis(tab, lo_b, axis=1)  # [rows, 128]
-        hi_b = hi[rb : rb + 1, :]
-        vals = []
-        for v in range(n_vals):
-            s = g[v * blocks : v * blocks + 1, :]
-            for b in range(1, blocks):
-                s = jnp.where(hi_b == b, g[v * blocks + b : v * blocks + b + 1, :], s)
-            vals.append(s)
-        chunks.append(jnp.concatenate(vals, axis=0))  # [n_vals, 128]
+    for g0 in range(0, nb, fuse):
+        k = min(fuse, nb - g0)
+        idx = jnp.concatenate(
+            [
+                jax.lax.broadcast_in_dim(lo[g0 + i : g0 + i + 1, :], (rows, 128), (0, 1))
+                for i in range(k)
+            ],
+            axis=0,
+        ) if k > 1 else jax.lax.broadcast_in_dim(lo[g0 : g0 + 1, :], (rows, 128), (0, 1))
+        g = jnp.take_along_axis(tab[: k * rows], idx, axis=1)  # [k*rows, 128]
+        for i in range(k):
+            gi = g[i * rows : (i + 1) * rows, :]
+            hi_b = hi[g0 + i : g0 + i + 1, :]
+            if narrow_select:  # value-major cost-profile ablation
+                vals = []
+                for v in range(n_vals):
+                    s = gi[v : v + 1, :]
+                    for b in range(1, blocks):
+                        s = jnp.where(hi_b == b, gi[b * stride + v : b * stride + v + 1, :], s)
+                    vals.append(s)
+                chunks.append(jnp.concatenate(vals, axis=0))
+            else:
+                s = gi[0:n_vals, :]
+                for b in range(1, blocks):
+                    s = jnp.where(hi_b == b, gi[b * stride : b * stride + n_vals, :], s)
+                chunks.append(s)  # [n_vals, 128]
     return jnp.concatenate(chunks, axis=1)  # [n_vals, T]
 
 
@@ -167,7 +202,7 @@ def _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a, cx, cy, cz, kc, *,
 
 def _iterate(st, acc_ref, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
              atab, *, m_slots, n_lanes, p_total, width, max_depth,
-             tmin, tmax, skip_tmax, j_steps, cb, ab, ablate):
+             tmin, tmax, skip_tmax, j_steps, cb, ab, ablate, fuse):
     """One wavefront iteration: [start new segments] -> [J DDA steps] ->
     [shade/accumulate/regen lanes whose segment completed].
 
@@ -176,12 +211,14 @@ def _iterate(st, acc_ref, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
     """
     (ox, oy, oz, dx, dy, dz, fx, fy, tx_, ty_, tz_,
      t_b, t_end, t_nx, t_nz, bkey, wcx, wcz, cr_, cg_, cb2_,
-     seed, mrow, sidx, depth, alive_i, march_i, icx, icz) = st
+     seed, mrow, sidx, depth, alive_i, march_i, icx, icz, cidx) = st
     alive = alive_i != 0
     marching = march_i != 0
 
-    spp_i = scal_ref[0, S_SPP]
-    number = scal_ref[0, S_NUMBER].astype(jnp.uint32)
+    spp_i = scal_ref[0, S_SPP]  # samples per (full) progressive call
+    number0 = scal_ref[0, S_NUMBER]  # first call's RenderCallInfo.number
+    n_calls = scal_ref[0, S_NCALLS]  # progressive calls merged in-kernel
+    spp_last = scal_ref[0, S_SPPLAST]  # samples of the dispatch's LAST call
     y0 = scal_ref[0, S_Y0]
     seed_y0 = scal_ref[0, S_SEEDY0]
     offx = scal_ref[0, S_OFFX]
@@ -198,11 +235,56 @@ def _iterate(st, acc_ref, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
     oo = ox * ox + oy * oy + oz * oz
     inv_a = 1.0 / a
 
+    # removal ablations (scripts/grid_iterbench.py): replace a section with a
+    # same-shaped passthrough of LIVE rows (no constants — nothing for the
+    # compiler to fold away).  Images are INVALID under cut_*; they exist to
+    # measure each section's serial share on the fixed-iteration dead-lane
+    # harness, which the additive 'X2' probes cannot see (a duplicated
+    # section overlaps its twin; a removed one shortens the critical path).
+    def cut(name):
+        return ("cut_" + name) in ablate
+
+    # ---- speculative fresh-seed hoist ---------------------------------------
+    # The TEA reseed used to run AFTER the termination logic (it needed
+    # pix_done/adv), putting 32 serialized hash rounds on the
+    # shade -> term -> reseed critical path — measured 17.7% of the
+    # iteration (scripts/grid_iterbench.py, cut_tea).  A lane's only two
+    # possible next seeds are pure functions of CARRIED state — same pixel
+    # at call cidx+1, or pixel slot m+1 at call number0 — so compute BOTH
+    # here at the top (overlaps the gather/shade chains like the ~free
+    # camera block) and select at the end.  Bit-exact: same tea_hash
+    # compositions, same operands.
+    if cut("tea"):
+        fresh_nc = seed
+        fresh_np = seed
+    else:
+        offx_f = offx.astype(jnp.float32)
+        y0_f = y0.astype(jnp.float32)
+        px_cur = (fx - offx_f).astype(jnp.int32)
+        py_cur = (fy - y0_f).astype(jnp.int32)
+        fresh_nc = rngops.tea_hash(  # next call, same pixel
+            rngops.tea_hash(px_cur.astype(jnp.uint32),
+                            (seed_y0 + py_cur).astype(jnp.uint32)),
+            (number0 + cidx + 1).astype(jnp.uint32),
+        )
+        nxt_pix = (mrow + 1) * n_lanes + lane
+        npx = nxt_pix % width
+        npy = nxt_pix // width
+        fresh_np = rngops.tea_hash(  # next pixel slot, first call
+            rngops.tea_hash(npx.astype(jnp.uint32),
+                            (seed_y0 + npy).astype(jnp.uint32)),
+            number0.astype(jnp.uint32),
+        )
+
+    # gather-structure A/B switches (scripts/grid_ablate.py)
+    fuse = 4 if "fuse4" in ablate else (2 if "fuse2" in ablate else fuse)
+    vmajor = "vmajor" in ablate
+
     # ---- segment start: global spheres + grid clip + DDA init -------------
     need = alive & ~marching
     t_b = jnp.where(need, BIG, t_b)
     bkey = jnp.where(need, _TAG, bkey)
-    reps = 2 if "global2" in ablate else 1  # additive cost probe
+    reps = 0 if cut("globals") else (2 if "global2" in ablate else 1)
     for rep in range(reps):
         last = rep == reps - 1
         for k in range(gtab_ref.shape[0]):
@@ -218,49 +300,84 @@ def _iterate(st, acc_ref, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
                 never = (seed == jnp.uint32(0xFFFFFFFF)) & (tc < -1.0)
                 t_b = jnp.where(never, tc, t_b)
 
-    t0x, t1x = _slab(ox, dx, gscal_ref[0, G_XLO], gscal_ref[0, G_XHI])
-    t0y, t1y = _slab(oy, dy, gscal_ref[0, G_YLO], gscal_ref[0, G_YHI])
-    t0z, t1z = _slab(oz, dz, gscal_ref[0, G_ZLO], gscal_ref[0, G_ZHI])
-    t_start = jnp.maximum(jnp.maximum(t0x, t0y), jnp.maximum(t0z, tmin))
-    t_end_n = jnp.minimum(jnp.minimum(t1x, t1y), t1z)
-    march0 = need & (t_start <= t_end_n) & (t_start < t_b)
+    # ONE reciprocal per axis, reused by the slab clip, the first-crossing
+    # t_nx/t_nz and the per-cell steps dt_x/dt_z: the old code issued 7
+    # divides per iteration (3 in _slab + 2 first crossings + 2 dt) —
+    # divides are long-latency serial ops and the init section measured
+    # 17.2% of the iteration (scripts/grid_iterbench.py, cut_init).
+    # (b-o)*inv differs from (b-o)/d by <= 1 ulp; DDA cell decisions shift
+    # only within the builder's delta-enlarged registration slop, and the
+    # box clip has a one-cell empty guard ring, so the winner set — and the
+    # image bits — are unchanged (models/grid.py exactness contract).
+    inv_x = 1.0 / dx
+    inv_y = 1.0 / dy
+    inv_z = 1.0 / dz
 
-    px0 = ox + t_start * dx
-    pz0 = oz + t_start * dz
-    icx_n = jnp.clip(jnp.floor(px0 + 0.5), cminx, cmaxx)
-    icz_n = jnp.clip(jnp.floor(pz0 + 0.5), cminz, cmaxz)
-    bx = icx_n + jnp.where(dx >= 0, 0.5, -0.5)
-    bz = icz_n + jnp.where(dz >= 0, 0.5, -0.5)
-    t_nx_n = jnp.where(dx == 0.0, BIG, (bx - ox) / dx)
-    t_nz_n = jnp.where(dz == 0.0, BIG, (bz - oz) / dz)
+    def _slab_inv(o_c, d_c, inv, lo, hi):
+        ta = (lo - o_c) * inv
+        tb = (hi - o_c) * inv
+        t0 = jnp.minimum(ta, tb)
+        t1 = jnp.maximum(ta, tb)
+        deg = d_c == 0.0
+        inside = (o_c >= lo) & (o_c <= hi)
+        t0 = jnp.where(deg, jnp.where(inside, -BIG, BIG), t0)
+        t1 = jnp.where(deg, jnp.where(inside, BIG, -BIG), t1)
+        return t0, t1
 
-    t_end = jnp.where(need, t_end_n, t_end)
-    t_nx = jnp.where(march0, t_nx_n, t_nx)
-    t_nz = jnp.where(march0, t_nz_n, t_nz)
-    icx = jnp.where(march0, icx_n.astype(jnp.int32), icx)
-    icz = jnp.where(march0, icz_n.astype(jnp.int32), icz)
+    if cut("init"):
+        march0 = need & (t_b < -1.0)  # never true; skip clip/DDA-init
+    else:
+        t0x, t1x = _slab_inv(ox, dx, inv_x, gscal_ref[0, G_XLO], gscal_ref[0, G_XHI])
+        t0y, t1y = _slab_inv(oy, dy, inv_y, gscal_ref[0, G_YLO], gscal_ref[0, G_YHI])
+        t0z, t1z = _slab_inv(oz, dz, inv_z, gscal_ref[0, G_ZLO], gscal_ref[0, G_ZHI])
+        t_start = jnp.maximum(jnp.maximum(t0x, t0y), jnp.maximum(t0z, tmin))
+        t_end_n = jnp.minimum(jnp.minimum(t1x, t1y), t1z)
+        march0 = need & (t_start <= t_end_n) & (t_start < t_b)
+
+        px0 = ox + t_start * dx
+        pz0 = oz + t_start * dz
+        icx_n = jnp.clip(jnp.floor(px0 + 0.5), cminx, cmaxx)
+        icz_n = jnp.clip(jnp.floor(pz0 + 0.5), cminz, cmaxz)
+        bx = icx_n + jnp.where(dx >= 0, 0.5, -0.5)
+        bz = icz_n + jnp.where(dz >= 0, 0.5, -0.5)
+        t_nx_n = jnp.where(dx == 0.0, BIG, (bx - ox) * inv_x)
+        t_nz_n = jnp.where(dz == 0.0, BIG, (bz - oz) * inv_z)
+
+        t_end = jnp.where(need, t_end_n, t_end)
+        t_nx = jnp.where(march0, t_nx_n, t_nx)
+        t_nz = jnp.where(march0, t_nz_n, t_nz)
+        icx = jnp.where(march0, icx_n.astype(jnp.int32), icx)
+        icz = jnp.where(march0, icz_n.astype(jnp.int32), icz)
     marching = marching | march0
 
     # ---- DDA march: j_steps cells ------------------------------------------
     step_x = jnp.where(dx >= 0, 1, -1)
     step_z = jnp.where(dz >= 0, 1, -1)
-    dt_x = jnp.where(dx == 0.0, BIG, jnp.abs(1.0 / dx))
-    dt_z = jnp.where(dz == 0.0, BIG, jnp.abs(1.0 / dz))
+    dt_x = jnp.where(dx == 0.0, BIG, jnp.abs(inv_x))
+    dt_z = jnp.where(dz == 0.0, BIG, jnp.abs(inv_z))
 
     for _ in range(j_steps):
         cid = ((icx.astype(jnp.float32) - cminx) * ncz
                + (icz.astype(jnp.float32) - cminz)).astype(jnp.int32)
-        vals = _gather_rows(ctab, cid, blocks=cb, n_vals=4 * N_SLOTS)
+        if cut("fetch"):
+            vals = jax.lax.broadcast_in_dim(ox, (4 * N_SLOTS, ox.shape[1]), (0, 1))
+        else:
+            vals = _gather_rows(ctab, cid, blocks=cb, n_vals=4 * N_SLOTS,
+                                fuse=fuse, narrow_select=vmajor)
         if "fetch2" in ablate:  # additive cost probe: duplicate the fetch
-            v2 = _gather_rows(ctab, cid + 1, blocks=cb, n_vals=4 * N_SLOTS)
+            v2 = _gather_rows(ctab, cid + 1, blocks=cb, n_vals=4 * N_SLOTS,
+                              fuse=fuse, narrow_select=vmajor)
             never = (seed == jnp.uint32(0xFFFFFFFF)) & (cid < -1)
             vals = jnp.where(never, v2, vals)
         for s in range(N_SLOTS):
-            tc = _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a,
-                            vals[4 * s : 4 * s + 1, :], cy_u,
-                            vals[4 * s + 1 : 4 * s + 2, :],
-                            vals[4 * s + 2 : 4 * s + 3, :],
-                            tmin=tmin, tmax=tmax, skip_tmax=skip_tmax)
+            if cut("quad"):
+                tc = vals[4 * s : 4 * s + 1, :] + oy
+            else:
+                tc = _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a,
+                                vals[4 * s : 4 * s + 1, :], cy_u,
+                                vals[4 * s + 1 : 4 * s + 2, :],
+                                vals[4 * s + 2 : 4 * s + 3, :],
+                                tmin=tmin, tmax=tmax, skip_tmax=skip_tmax)
             upd = marching & (tc < t_b)
             t_b = jnp.where(upd, tc, t_b)
             bkey = jnp.where(upd, vals[4 * s + 3 : 4 * s + 4, :], bkey)
@@ -325,9 +442,14 @@ def _iterate(st, acc_ref, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
     # latency-bound critical path.
     is_direct = bkey >= _TAG
     bidx = jnp.where(is_direct, bkey - _TAG, bkey).astype(jnp.int32)
-    at = _gather_rows(atab, bidx, blocks=ab, n_vals=5)
+    if cut("resolve"):
+        at = jax.lax.broadcast_in_dim(bkey, (5, bkey.shape[1]), (0, 1))
+    else:
+        at = _gather_rows(atab, bidx, blocks=ab, n_vals=5, stride=8, fuse=fuse,
+                          narrow_select=vmajor)
     if "resolve2" in ablate:  # additive cost probe: duplicate atab
-        at2 = _gather_rows(atab, bidx + 1, blocks=ab, n_vals=5)
+        at2 = _gather_rows(atab, bidx + 1, blocks=ab, n_vals=5, stride=8,
+                           fuse=fuse, narrow_select=vmajor)
         never = (seed == jnp.uint32(0xFFFFFFFF)) & (bidx < -1)
         at = jnp.where(never, at2, at)
 
@@ -362,12 +484,18 @@ def _iterate(st, acc_ref, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
     c1z = jnp.where(is_direct, gc1z, 0.0)
 
     # ---- shading: shader.rchit (shared row implementation) -------------
-    (px_, py_, pz_, ax, ay, az, sdx, sdy, sdz, does_scatter,
-     seed_h) = shade_rows(ox, oy, oz, dx, dy, dz, t_b, seed,
-                          cenx, ceny, cenz, mat, tex, c0x, c0y, c0z,
-                          c1x, c1y, c1z, fuzz)
+    if cut("shade"):
+        (px_, py_, pz_, ax, ay, az, sdx, sdy, sdz) = (
+            ox, oy, oz, dx, dy, dz, dx, dy, dz)
+        does_scatter = t_b < BIG
+        seed_h = seed
+    else:
+        (px_, py_, pz_, ax, ay, az, sdx, sdy, sdz, does_scatter,
+         seed_h) = shade_rows(ox, oy, oz, dx, dy, dz, t_b, seed,
+                              cenx, ceny, cenz, mat, tex, c0x, c0y, c0z,
+                              c1x, c1y, c1z, fuzz, cut_sin=cut("sin"))
     if "shade2" in ablate:  # additive cost probe: duplicate the shading
-        never = (seed == jnp.uint32(0xFFFFFFFF)) & (ckey < -1)
+        never = (seed == jnp.uint32(0xFFFFFFFF)) & (bidx < -1)
         s2 = shade_rows(ox, oy, oz, dx, dy, dz, t_b + 1.0, seed,
                         cenx, ceny, cenz, mat, tex, c0x, c0y, c0z,
                         c1x, c1y, c1z, fuzz)
@@ -402,26 +530,36 @@ def _iterate(st, acc_ref, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
 
     seed_a = jnp.where(seg_done & hit, seed_h, seed)
 
-    # ---- regen: next sample or next pixel ----------------------------------
-    more = term & (sidx < spp_i)
-    pix_done = term & ~more
+    # ---- regen: next sample, next progressive call, or next pixel ----------
+    # A merged dispatch runs n_calls progressive calls back-to-back per
+    # pixel (numbers number0..number0+n_calls-1) before advancing the lane
+    # to its next pixel — eliminating the inter-call wavefront drains the
+    # host-loop version pays.  cur is flushed into the acc slot at EVERY
+    # call boundary, reproducing the unmerged path's accumulation order
+    # bit-for-bit (acc += call_sum in call order, per pixel).
+    cur_spp = jnp.where(cidx + 1 >= n_calls, spp_last, spp_i)
+    more = term & (sidx < cur_spp)
+    chunk_done = term & ~more  # current (pixel, call) chunk complete
 
-    # flush the finished pixel's sum into its acc slot — pix_done fires once
-    # per spp samples per lane, so the 3*M-row select loop runs on only a
+    # flush the finished chunk's sum into its acc slot — fires once per
+    # spp samples per lane, so the 3*M-row select loop runs on only a
     # small fraction of iterations (pl.when on a lane-reduced scalar)
-    @pl.when(jnp.any(pix_done))
+    @pl.when(jnp.any(chunk_done))
     def _flush():
         for m in range(m_slots):
-            sel = pix_done & (mrow == m)
+            sel = chunk_done & (mrow == m)
             for c, cur in enumerate((cur_x, cur_y, cur_z)):
                 row = acc_ref[3 * m + c : 3 * m + c + 1, :]
                 acc_ref[3 * m + c : 3 * m + c + 1, :] = (
                     row + jnp.where(sel, cur, 0.0))
 
-    cur_x = jnp.where(pix_done, 0.0, cur_x)
-    cur_y = jnp.where(pix_done, 0.0, cur_y)
-    cur_z = jnp.where(pix_done, 0.0, cur_z)
+    cur_x = jnp.where(chunk_done, 0.0, cur_x)
+    cur_y = jnp.where(chunk_done, 0.0, cur_y)
+    cur_z = jnp.where(chunk_done, 0.0, cur_z)
+    more_calls = chunk_done & (cidx + 1 < n_calls)
+    pix_done = chunk_done & ~more_calls
     m2 = mrow + pix_done.astype(jnp.int32)
+    cidx2 = jnp.where(pix_done, 0, cidx + more_calls.astype(jnp.int32))
     pix2 = m2 * n_lanes + lane
     valid2 = (m2 < m_slots) & (pix2 < p_total)
     adv = pix_done & valid2
@@ -429,15 +567,21 @@ def _iterate(st, acc_ref, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
     py2 = pix2 // width
     fx2 = (offx + px2).astype(jnp.float32)
     fy2 = (y0 + py2).astype(jnp.float32)
-    fresh = rngops.tea_hash(
-        rngops.tea_hash(px2.astype(jnp.uint32), (seed_y0 + py2).astype(jnp.uint32)),
-        number,
-    )
-    regen = more | adv
-    seed_c = jnp.where(adv, fresh, seed_a)
+    renew = more_calls | adv  # needs a fresh TEA seed (new pixel OR new call)
+    # the two candidate seeds were hoisted to the iteration top (see above);
+    # adv => slot m+1 at number0 (pix2 == (mrow+1)*n+lane when pix_done),
+    # more_calls => same pixel at number0+cidx+1
+    fresh = jnp.where(adv, fresh_np, fresh_nc)
+    regen = more | renew
+    seed_c = jnp.where(renew, fresh, seed_a)
     fxn = jnp.where(adv, fx2, fx)
     fyn = jnp.where(adv, fy2, fy)
-    seed_r, (cox, coy, coz), (cdx, cdy, cdz) = _camera_rays_rows(seed_c, fxn, fyn, vpr_ref)
+    if cut("camera"):
+        seed_r, (cox, coy, coz), (cdx, cdy, cdz) = (
+            seed_c, (ox, oy, oz), (dx, dy, dz))
+    else:
+        seed_r, (cox, coy, coz), (cdx, cdy, cdz) = _camera_rays_rows(
+            seed_c, fxn, fyn, vpr_ref)
     if "camera2" in ablate:  # additive cost probe: duplicate ray regen
         s2_, (c2x, c2y, c2z), (d2x, d2y, d2z) = _camera_rays_rows(
             seed_c + jnp.uint32(1), fxn, fyn, vpr_ref)
@@ -471,12 +615,13 @@ def _iterate(st, acc_ref, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
         cur_z,
         jnp.where(seg_done, jnp.where(regen, seed_r, seed_a), seed),
         m2,
-        jnp.where(adv, 1, sidx + more.astype(jnp.int32)),
+        jnp.where(renew, 1, sidx + more.astype(jnp.int32)),
         jnp.where(cont_b, depth + 1, jnp.where(regen, 0, depth)),
         (marching | (seg_done & (cont_b | regen))).astype(jnp.int32),
         marching.astype(jnp.int32),
         icx,
         icz,
+        cidx2,
     )
     return st2
 
@@ -484,13 +629,19 @@ def _iterate(st, acc_ref, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
 def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab_ref,
             atab_ref, fin_ref, uin_ref, fout_ref, uout_ref, acc_ref, *, m_slots,
             n_lanes, p_total, width, max_depth, tmin, tmax, k_steps, j_steps,
-            skip_tmax, cb, ab, ablate, unroll):
+            skip_tmax, cb, ab, ablate, unroll, fuse):
     lane = (
         jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
         + pl.program_id(0) * TILE
     )
     ctab = ctab_ref[:, :]
     atab = atab_ref[:, :]
+    fuse = 4 if "fuse4" in ablate else (2 if "fuse2" in ablate else fuse)
+    if fuse > 1:
+        # stacked copies for the fused multi-chunk gather (hoisted out of
+        # the iteration loop; chunk i's index rows address copy i)
+        ctab = jnp.concatenate([ctab] * fuse, axis=0)
+        atab = jnp.concatenate([atab] * fuse, axis=0)
 
     st = (
         *_vec3(fin_ref, R_O),
@@ -514,6 +665,7 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab_ref,
         (uin_ref[U_MARCH : U_MARCH + 1, :] != 0).astype(jnp.int32),
         uin_ref[U_ICX : U_ICX + 1, :].astype(jnp.int32),
         uin_ref[U_ICZ : U_ICZ + 1, :].astype(jnp.int32),
+        uin_ref[U_CALL : U_CALL + 1, :].astype(jnp.int32),
     )
 
     # The 3*M acc rows live in a VMEM scratch ref RMW'd by _iterate's gated
@@ -528,7 +680,7 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab_ref,
         atab=atab, m_slots=m_slots, n_lanes=n_lanes,
         p_total=p_total, width=width, max_depth=max_depth, tmin=tmin,
         tmax=tmax, skip_tmax=skip_tmax, j_steps=j_steps, cb=cb, ab=ab,
-        ablate=ablate,
+        ablate=ablate, fuse=fuse,
     )
 
     if "state2" in ablate:
@@ -567,7 +719,7 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab_ref,
 
     (ox, oy, oz, dx, dy, dz, fx, fy, tx_, ty_, tz_,
      t_b, t_end, t_nx, t_nz, bkey, wcx, wcz, cur_x, cur_y, cur_z,
-     seed, mrow, sidx, depth, alive, march, icx, icz) = st
+     seed, mrow, sidx, depth, alive, march, icx, icz, cidx) = st
     for i, v in enumerate((ox, oy, oz, dx, dy, dz, fx, fy, tx_, ty_, tz_,
                            t_b, t_end, t_nx, t_nz, bkey, wcx, wcz, cur_x,
                            cur_y, cur_z)):
@@ -586,32 +738,34 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab_ref,
     uout_ref[U_MARCH : U_MARCH + 1, :] = march.astype(jnp.uint32)
     uout_ref[U_ICX : U_ICX + 1, :] = icx.astype(jnp.uint32)
     uout_ref[U_ICZ : U_ICZ + 1, :] = icz.astype(jnp.uint32)
+    uout_ref[U_CALL : U_CALL + 1, :] = cidx.astype(jnp.uint32)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "m_slots", "n_lanes", "p_total", "width", "max_depth", "k_steps",
-        "j_steps", "skip_tmax", "ablate", "interpret", "unroll",
+        "j_steps", "skip_tmax", "ablate", "interpret", "unroll", "fuse",
     ),
 )
 def grid_megakernel_step(scal, vpr, gscal, gtab, ctab, atab, fstate,
                          ustate, *, m_slots, n_lanes, p_total, width,
                          max_depth, k_steps=K_STEPS, j_steps=J_STEPS,
                          skip_tmax=False, ablate=(), interpret=False,
-                         unroll=False):
+                         unroll=False, fuse=1):
     """``k_steps`` grid-traced wavefront iterations over all lanes."""
     n_pad = fstate.shape[1]
     rf = f_rows(m_slots)
     grid = n_pad // TILE
     cb = ctab.shape[0] // (4 * N_SLOTS)
-    ab = atab.shape[0] // 5  # 5 attr values per sphere id (mat, c0.rgb, attr)
+    ab = atab.shape[0] // 8  # 8-row stride per block: 5 attr values
+    #                          (mat, c0.rgb, attr) + 3 alignment pad rows
     kernel = functools.partial(
         _kernel, m_slots=m_slots, n_lanes=n_lanes, p_total=p_total,
         width=width, max_depth=max_depth, tmin=np.float32(config.T_MIN),
         tmax=np.float32(config.MAX_RAY_COLLISION_DISTANCE), k_steps=k_steps,
         j_steps=j_steps, skip_tmax=skip_tmax, cb=cb, ab=ab,
-        ablate=frozenset(ablate), unroll=unroll,
+        ablate=frozenset(ablate), unroll=unroll, fuse=fuse,
     )
     return pl.pallas_call(
         kernel,

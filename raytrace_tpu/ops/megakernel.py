@@ -52,8 +52,10 @@ R_O, R_D, R_FX, R_FY, R_THR, R_ACC = 0, 3, 6, 7, 8, 12
 U_SEED, U_M, U_SIDX, U_DEPTH, U_ALIVE = 0, 1, 2, 3, 4
 U_ROWS = 8
 
-# dynamic scalar slots (i32 SMEM)
-S_SPP, S_NUMBER, S_Y0, S_SEEDY0, S_OFFX = 0, 1, 2, 3, 4
+# dynamic scalar slots (i32 SMEM).  NCALLS/SPPLAST drive the grid kernel's
+# in-kernel progressive-call merge (gridkernel._iterate); this kernel always
+# runs with n_calls=1 and ignores them.
+S_SPP, S_NUMBER, S_Y0, S_SEEDY0, S_OFFX, S_NCALLS, S_SPPLAST = range(7)
 
 # viewport scalar slots (f32 SMEM)
 V_H, V_V, V_UL, V_UP, V_RIGHT, V_FROM, V_AP, V_W, V_HGT = 0, 3, 6, 9, 12, 15, 18, 19, 20

@@ -14,9 +14,6 @@ bit-identical draw streams.
 A per-ray LCG seed is *carried state* in the wavefront loop, exactly like the
 ``inout uint seed`` payload field in GLSL — this is what lets TPU output match
 the Vulkan renderer near-bitwise rather than only statistically.
-
-``pcg4d`` is an alternative, better-quality counter-based generator for
-``rng="pcg"`` mode (decorrelated streams; not used for parity tests).
 """
 
 from __future__ import annotations
@@ -96,38 +93,3 @@ def random_unit_vector(seed):
     return seed, x * inv, y * inv, z * inv
 
 
-def pcg4d(a, b, c, d):
-    """PCG4D hash (Jarzynski & Olano, JCGT 2020) — decorrelated 4x32 streams.
-
-    Used for ``rng="pcg"`` mode: state = (pixel, sample, depth, draw_slot).
-    Returns four uint32s.
-    """
-    a = a * _U(1664525) + _U(1013904223)
-    b = b * _U(1664525) + _U(1013904223)
-    c = c * _U(1664525) + _U(1013904223)
-    d = d * _U(1664525) + _U(1013904223)
-    a = a + b * d
-    b = b + c * a
-    c = c + a * b
-    d = d + b * c
-    a = a ^ (a >> _U(16))
-    b = b ^ (b >> _U(16))
-    c = c ^ (c >> _U(16))
-    d = d ^ (d >> _U(16))
-    a = a + b * d
-    b = b + c * a
-    c = c + a * b
-    d = d + b * c
-    return a, b, c, d
-
-
-def u32_to_unit_float(bits):
-    """uint32 -> f32 in [0,1) using the reference's 24-bit mantissa recipe."""
-    masked = bits & _U(0x00FFFFFF)
-    if isinstance(masked, (np.ndarray, np.generic)):
-        f = masked.astype(np.int32).astype(np.float32)
-    else:
-        import jax.numpy as jnp
-
-        f = masked.astype(jnp.int32).astype(jnp.float32)
-    return f / np.float32(0x01000000)

@@ -17,10 +17,14 @@ from .megakernel import _norm3
 
 def shade_rows(ox, oy, oz, dx, dy, dz, t, seed,
                cenx, ceny, cenz, mat, tex, c0x, c0y, c0z, c1x, c1y, c1z,
-               fuzz):
+               fuzz, cut_sin=False):
     """Returns (px_, py_, pz_, ax, ay, az, sdx, sdy, sdz, does_scatter,
     seed_h): hit point, albedo, un-normalized scatter direction, scatter
-    flag, and the seed after the material's RNG draws (shader.rchit)."""
+    flag, and the seed after the material's RNG draws (shader.rchit).
+
+    ``cut_sin``: cost-probe only (scripts/grid_iterbench.py) — replaces the
+    3 checker transcendentals with a same-dependency product; image invalid.
+    """
     px_ = ox + t * dx
     py_ = oy + t * dy
     pz_ = oz + t * dz
@@ -31,7 +35,10 @@ def shade_rows(ox, oy, oz, dx, dy, dz, t, seed,
     nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
 
     # texture (shader.rchit:53-64): 3-D sine checker, size 6
-    sines = jnp.sin(6.0 * px_) * jnp.sin(6.0 * py_) * jnp.sin(6.0 * pz_)
+    if cut_sin:
+        sines = (6.0 * px_) * (6.0 * py_) * (6.0 * pz_)
+    else:
+        sines = jnp.sin(6.0 * px_) * jnp.sin(6.0 * py_) * jnp.sin(6.0 * pz_)
     use_c1 = (tex > 0.5) & ~(sines > 0.0)
     ax = jnp.where(use_c1, c1x, c0x)
     ay = jnp.where(use_c1, c1y, c0y)

@@ -252,6 +252,11 @@ def render_band_core(
     # MUST be an explicit arg: gridkernel.J_STEPS/K_STEPS module globals are
     # read at trace time, so in-process sweeps that mutate them silently
     # reuse the first compiled program (same jit cache key)
+    n_calls=None,  # grid backend: progressive calls merged IN-KERNEL
+    # (numbers number..number+n_calls-1, spp each except the last).  Dynamic
+    # i32 — group size changes don't recompile.  Bit-identical to the same
+    # calls issued through the host loop (gridkernel call-merge docstring).
+    spp_last=None,  # samples of the merged dispatch's last call (<= spp)
 ):
     """Render one row band; returns the accumulated color sum [band_h, W, 3].
 
@@ -275,7 +280,8 @@ def render_band_core(
             offset_x=offset_x, spp=spp, number=number, accum_init=accum_init,
             max_depth=max_depth, pixels_per_lane=pixels_per_lane,
             skip_tmax=skip_tmax, return_iters=return_iters, backend=backend,
-            ablate=ablate, grid_steps=grid_steps)
+            ablate=ablate, grid_steps=grid_steps, n_calls=n_calls,
+            spp_last=spp_last)
     if backend == "paged":
         return _render_band_paged(
             scene, vp, band_h=band_h, width=width, y0=y0, seed_y0=seed_y0,
@@ -415,7 +421,7 @@ def render_band_core(
 def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
                       number, accum_init, max_depth, pixels_per_lane,
                       skip_tmax, return_iters, backend="mega", ablate=(),
-                      grid_steps=None):
+                      grid_steps=None, n_calls=None, spp_last=None):
     """Megakernel driver: whole loop body in one Pallas call per iteration;
     state in row-major [rows, lanes] arrays so the host loop does zero layout
     conversion.  Semantics identical to the generic path (same RNG streams,
@@ -471,12 +477,18 @@ def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
     ustate = ustate.at[mk.U_SIDX].set(1)
     ustate = ustate.at[mk.U_ALIVE].set(alive0)
 
+    if (n_calls is not None or spp_last is not None) and backend != "grid":
+        raise ValueError("in-kernel call merging is a grid-backend feature")
     scal = jnp.zeros((1, 8), jnp.int32)
     scal = scal.at[0, mk.S_SPP].set(spp)
     scal = scal.at[0, mk.S_NUMBER].set(jnp.uint32(number).astype(jnp.int32))
     scal = scal.at[0, mk.S_Y0].set(jnp.int32(y0))
     scal = scal.at[0, mk.S_SEEDY0].set(jnp.int32(seed_y0))
     scal = scal.at[0, mk.S_OFFX].set(jnp.int32(offset_x))
+    scal = scal.at[0, mk.S_NCALLS].set(
+        jnp.int32(1) if n_calls is None else jnp.int32(n_calls))
+    scal = scal.at[0, mk.S_SPPLAST].set(
+        spp if spp_last is None else jnp.int32(spp_last))
     vpr = jnp.concatenate(
         [
             vp.horizontal, vp.vertical, vp.upper_left, vp.cam_up, vp.cam_right,
@@ -492,9 +504,10 @@ def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
     if backend == "grid":
         g = scene.grid
         gsteps = grid_steps if grid_steps is not None else (
-            mk.J_STEPS, mk.K_STEPS, mk.UNROLL)
+            mk.J_STEPS, mk.K_STEPS, mk.UNROLL, mk.FUSE)
         j_steps, k_steps = gsteps[0], gsteps[1]
         unroll = gsteps[2] if len(gsteps) > 2 else False
+        fuse = gsteps[3] if len(gsteps) > 3 else 1
 
         def body(st):
             f, u, it = st
@@ -503,7 +516,7 @@ def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
                 m_slots=m_slots, n_lanes=n, p_total=p_total, width=width,
                 max_depth=max_depth, k_steps=k_steps, j_steps=j_steps,
                 skip_tmax=skip_tmax, ablate=ablate, interpret=interpret,
-                unroll=unroll,
+                unroll=unroll, fuse=fuse,
             )
             return (f2, u2, it + k_steps)
     else:

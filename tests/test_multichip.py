@@ -8,6 +8,19 @@ import numpy as np
 import pytest
 
 from raytrace_tpu.config import RenderConfig
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_cache():
+    """Serializing the large 8-device shard_map CPU executables for the
+    persistent cache segfaults intermittently on this jaxlib (PJRT CPU AOT
+    `executable.serialize()`, cross-machine feature-mismatch class — it
+    killed two full-suite runs at exactly these tests).  They compile in
+    seconds, so skip the cache here entirely."""
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", prev)
 from raytrace_tpu.models.scene import three_sphere_scene
 from raytrace_tpu.parallel.sharding import MultiChipRenderer, make_mesh
 from raytrace_tpu.runtime.renderer import Renderer

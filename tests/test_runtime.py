@@ -190,3 +190,16 @@ def test_pixels_per_lane_minimizes_tile_padding():
     r2 = Renderer(RenderConfig(samples=1, width=1920, height=1080,
                                backend="grid", pixels_per_lane=63))
     assert r2.pixels_per_lane == 63
+
+
+def test_chip_profile_lookup():
+    """Chip-constant table (runtime/chips.py): known kinds resolve, unknown
+    kinds fall back to the measured v5e-lite row."""
+    from raytrace_tpu.runtime.chips import DEFAULT, profile_for
+
+    assert profile_for("TPU v5 lite0").kind_substr == "v5 lite"
+    assert profile_for("TPU v5p").kind_substr == "v5p"
+    assert profile_for("weird accelerator") is DEFAULT
+    assert profile_for(None) is not None  # live lookup never raises
+    p = profile_for("TPU v5 lite0")
+    assert p.tile == 4096 and p.lanes_target == 1 << 15
