@@ -9,13 +9,25 @@ Per wavefront iteration each lane is in one of two modes:
 
   need_start (fresh segment): brute-force the <=8 "global" spheres
       (ground + heroes — large spheres that would crowd every cell), clip
-      the ray against the grid's slab/box, and initialize an Amanatides-Woo
-      2-D DDA over the (x,z) cell lattice;
-  marching: up to ``j_steps`` DDA steps — fetch the cell's <=4 candidate
-      spheres (cx, cz, kc) with per-lane Mosaic ``dynamic_gather`` ops
-      (models/grid.py layout), run the exact brute-force quadratic on them,
-      and advance; the march ends when the next cell's entry t can no longer
-      beat the best hit (t_exit >= t_best) or the ray leaves the grid.
+      the ray against the grid's slab/box (one reciprocal per axis, reused
+      by the DDA), and initialize an Amanatides-Woo 2-D DDA over the (x,z)
+      cell lattice;
+  marching: ``j_steps`` DDA steps (default 2 — cells/segment is ~2.4) —
+      fetch each cell's <=4 candidate spheres (cx, cz, kc, id) with
+      per-lane Mosaic ``dynamic_gather`` ops (block-major tables,
+      models/grid.py), run the exact brute-force quadratic on them, and
+      advance; at j=2 BOTH cells are fetched in one paired gather (the
+      advance direction needs only t_nx/t_nz, so the second cell is known
+      before the first cell's quadratics).  The march ends when the next
+      cell's entry t can no longer beat the best hit (t_exit >= t_best) or
+      the ray leaves the grid.
+
+A dispatch can merge ``n_calls`` progressive calls (in-kernel call merge:
+numbers number0..number0+n_calls-1 run back-to-back per pixel with the
+running sum flushed at every call boundary — bit-identical to the host
+loop, minus its per-call wavefront drains).  Fresh TEA reseeds are
+precomputed into state rows and refreshed under a pl.when only during
+renew bursts (the hash chain was 17.7% of the iteration when inline).
 
 Lanes whose march completed shade (same shader.rchit/rgen row math as the
 brute-force megakernel — materials, termination, accumulation, sample/pixel
@@ -36,6 +48,7 @@ State layout (f32 rows; M = pixels_per_lane):
   | 14 t_nz | 15 bkey | 16-17 winner cx/cz | 18-20 cur.rgb | 21+3m+c acc
 u32 rows: 0 seed | 1 m | 2 sidx | 3 depth | 4 alive | 5 marching | 6 icx
   | 7 icz | 8 call (progressive-call index of the in-kernel call merge)
+  | 9-10 precomputed fresh TEA seeds (next-call / next-pixel) | 11 stale flag
 bkey encodes the winner: the global sphere id for grid hits (it rides the
 candidate fetch as a 4th value), 4096+sphere_id for global hits; cur.rgb is the
 running sum of the lane's current pixel, flushed to its acc slot on pixel
@@ -68,8 +81,14 @@ from .shading_rows import shade_rows
 # gather sections cost ~0%).  Wider tiles issue TILE/1024 vregs per op,
 # hiding latency behind throughput.
 TILE = 4096
-K_STEPS = 10  # wavefront iterations per kernel invocation
-J_STEPS = 1  # DDA cell steps per wavefront iteration
+K_STEPS = 40  # wavefront iterations per kernel invocation: amortizes the
+# per-invocation state+acc DMA (~14 MB each way at M=64; r3 sweep: K=40
+# beats K=10 by 8% at j=2)
+J_STEPS = 2  # DDA cell steps per wavefront iteration.  The r2 "j>1 loses"
+# result came from the camera-bugged oracle floor (cells/segment is ~2.4,
+# not 0.39) plus the old expensive fetch; with block-major fetches j=2
+# trades +29% per-iteration cost for -29% issued iterations (net -8.5%,
+# scripts/grid_mjsweep.py)
 UNROLL = False  # statically unroll the K_STEPS loop (scheduling experiment)
 FUSE = 1  # 128-lane chunks per dynamic_gather op (stacked-table fusion)
 
@@ -86,7 +105,10 @@ R_HDR = 21  # header rows (everything before the acc slots)
 # u32 state rows
 U_SEED, U_M, U_SIDX, U_DEPTH, U_ALIVE, U_MARCH, U_ICX, U_ICZ = range(8)
 U_CALL = 8  # current progressive-call index within a merged dispatch
-U_ROWS = 9  # block sublane dim == array dim (exact-dim rule)
+U_FNC = 9  # precomputed fresh TEA seed: same pixel, next call
+U_FNP = 10  # precomputed fresh TEA seed: next pixel slot, first call
+U_PEND = 11  # 1 -> the two fresh rows are stale (lane renewed; recompute)
+U_ROWS = 12  # block sublane dim == array dim (exact-dim rule)
 
 _TAG = np.float32(4096.0)  # bkey values >= _TAG are direct sphere ids
 
@@ -164,19 +186,42 @@ def _gather_rows(tab, cid, *, blocks, n_vals, stride=None, fuse=1,
     return jnp.concatenate(chunks, axis=1)  # [n_vals, T]
 
 
-def _slab(o_c, d_c, lo, hi):
-    """Ray vs axis slab [lo, hi] -> (t_enter, t_exit); degenerate d handled
-    (inside -> (-BIG, BIG), outside -> empty)."""
-    inv = 1.0 / d_c
-    ta = (lo - o_c) * inv
-    tb = (hi - o_c) * inv
-    t0 = jnp.minimum(ta, tb)
-    t1 = jnp.maximum(ta, tb)
-    deg = d_c == 0.0
-    inside = (o_c >= lo) & (o_c <= hi)
-    t0 = jnp.where(deg, jnp.where(inside, -BIG, BIG), t0)
-    t1 = jnp.where(deg, jnp.where(inside, BIG, -BIG), t1)
-    return t0, t1
+def _gather_rows_pair(tab2, cid_a, cid_b, *, blocks, n_vals):
+    """Fetch the same blocked table for TWO entry ids per lane in ONE
+    dynamic_gather per 128-lane chunk.  tab2 is the table stacked twice
+    ([2*blocks*n_vals, 128]); returns ([n_vals, T], [n_vals, T]).
+
+    Used by the j_steps=2 march: the DDA's next cell is known BEFORE the
+    current cell's quadratics (the advance direction depends only on
+    t_nx/t_nz), so both march steps' candidate fetches issue together —
+    removing the fetch -> advance -> fetch serialization that made the
+    fetch 45% of the iteration's serial cost (scripts/grid_iterbench.py).
+    """
+    t = cid_a.shape[1]
+    nb = t // 128
+    lo_a = (cid_a & 127).reshape(nb, 128)
+    hi_a = (cid_a >> 7).reshape(nb, 128)
+    lo_b = (cid_b & 127).reshape(nb, 128)
+    hi_b = (cid_b >> 7).reshape(nb, 128)
+    rows = blocks * n_vals
+    out_a, out_b = [], []
+    for rb in range(nb):
+        idx = jnp.concatenate(
+            [
+                jax.lax.broadcast_in_dim(lo_a[rb : rb + 1, :], (rows, 128), (0, 1)),
+                jax.lax.broadcast_in_dim(lo_b[rb : rb + 1, :], (rows, 128), (0, 1)),
+            ],
+            axis=0,
+        )
+        g = jnp.take_along_axis(tab2[: 2 * rows], idx, axis=1)  # [2*rows, 128]
+        for half, hi, out in ((0, hi_a, out_a), (1, hi_b, out_b)):
+            gi = g[half * rows : (half + 1) * rows, :]
+            h = hi[rb : rb + 1, :]
+            s = gi[0:n_vals, :]
+            for b in range(1, blocks):
+                s = jnp.where(h == b, gi[b * n_vals : (b + 1) * n_vals, :], s)
+            out.append(s)
+    return jnp.concatenate(out_a, axis=1), jnp.concatenate(out_b, axis=1)
 
 
 def _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a, cx, cy, cz, kc, *,
@@ -200,9 +245,9 @@ def _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a, cx, cy, cz, kc, *,
     return jnp.where(t1_ok, t1, jnp.where(t2_ok, t2, BIG))
 
 
-def _iterate(st, acc_ref, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
-             atab, *, m_slots, n_lanes, p_total, width, max_depth,
-             tmin, tmax, skip_tmax, j_steps, cb, ab, ablate, fuse):
+def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
+             gtab_ref, ctab, atab, *, m_slots, n_lanes, p_total, width,
+             max_depth, tmin, tmax, skip_tmax, j_steps, cb, ab, ablate, fuse):
     """One wavefront iteration: [start new segments] -> [J DDA steps] ->
     [shade/accumulate/regen lanes whose segment completed].
 
@@ -244,25 +289,24 @@ def _iterate(st, acc_ref, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
     def cut(name):
         return ("cut_" + name) in ablate
 
-    # ---- speculative fresh-seed hoist ---------------------------------------
+    # ---- on-demand fresh-seed precompute ------------------------------------
     # The TEA reseed used to run AFTER the termination logic (it needed
     # pix_done/adv), putting 32 serialized hash rounds on the
     # shade -> term -> reseed critical path — measured 17.7% of the
     # iteration (scripts/grid_iterbench.py, cut_tea).  A lane's only two
     # possible next seeds are pure functions of CARRIED state — same pixel
-    # at call cidx+1, or pixel slot m+1 at call number0 — so compute BOTH
-    # here at the top (overlaps the gather/shade chains like the ~free
-    # camera block) and select at the end.  Bit-exact: same tea_hash
+    # at call cidx+1, or pixel slot m+1 at call number0 — and they change
+    # ONLY when the lane renews (once per spp samples), so they live in the
+    # ``fresh_ref`` scratch rows (persisted via U_FNC/U_FNP/U_PEND state)
+    # and the 2x32-round hash block runs under a pl.when that fires only
+    # during renew bursts, not every iteration.  Bit-exact: same tea_hash
     # compositions, same operands.
-    if cut("tea"):
-        fresh_nc = seed
-        fresh_np = seed
-    else:
+    def _fresh_pair():
         offx_f = offx.astype(jnp.float32)
         y0_f = y0.astype(jnp.float32)
         px_cur = (fx - offx_f).astype(jnp.int32)
         py_cur = (fy - y0_f).astype(jnp.int32)
-        fresh_nc = rngops.tea_hash(  # next call, same pixel
+        nc = rngops.tea_hash(  # next call, same pixel
             rngops.tea_hash(px_cur.astype(jnp.uint32),
                             (seed_y0 + py_cur).astype(jnp.uint32)),
             (number0 + cidx + 1).astype(jnp.uint32),
@@ -270,11 +314,31 @@ def _iterate(st, acc_ref, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
         nxt_pix = (mrow + 1) * n_lanes + lane
         npx = nxt_pix % width
         npy = nxt_pix // width
-        fresh_np = rngops.tea_hash(  # next pixel slot, first call
+        np_ = rngops.tea_hash(  # next pixel slot, first call
             rngops.tea_hash(npx.astype(jnp.uint32),
                             (seed_y0 + npy).astype(jnp.uint32)),
             number0.astype(jnp.uint32),
         )
+        return nc, np_
+
+    if cut("tea"):
+        fresh_nc = seed
+        fresh_np = seed
+    elif "teaalways" in ablate:  # A/B: unconditional per-iteration hoist
+        fresh_nc, fresh_np = _fresh_pair()
+    else:
+        pend = fresh_ref[2:3, :]
+
+        @pl.when(jnp.any(pend != 0))
+        def _recompute_fresh():
+            stale = pend != 0
+            nc, np_ = _fresh_pair()
+            fresh_ref[0:1, :] = jnp.where(stale, nc, fresh_ref[0:1, :])
+            fresh_ref[1:2, :] = jnp.where(stale, np_, fresh_ref[1:2, :])
+            fresh_ref[2:3, :] = jnp.zeros_like(pend)
+
+        fresh_nc = fresh_ref[0:1, :]
+        fresh_np = fresh_ref[1:2, :]
 
     # gather-structure A/B switches (scripts/grid_ablate.py)
     fuse = 4 if "fuse4" in ablate else (2 if "fuse2" in ablate else fuse)
@@ -356,10 +420,38 @@ def _iterate(st, acc_ref, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
     dt_x = jnp.where(dx == 0.0, BIG, jnp.abs(inv_x))
     dt_z = jnp.where(dz == 0.0, BIG, jnp.abs(inv_z))
 
-    for _ in range(j_steps):
-        cid = ((icx.astype(jnp.float32) - cminx) * ncz
-               + (icz.astype(jnp.float32) - cminz)).astype(jnp.int32)
-        if cut("fetch"):
+    def _cid(x, z):
+        return ((x.astype(jnp.float32) - cminx) * ncz
+                + (z.astype(jnp.float32) - cminz)).astype(jnp.int32)
+
+    # paired fetch (the j=2 production path): the advance DIRECTION depends
+    # only on t_nx/t_nz, so the second march step's cell is known before the
+    # first step's quadratics — both fetches issue as ONE gather per chunk
+    # (ctab arrives pre-stacked).  Lanes that stop after step 1 get an
+    # unused (masked) second fetch, exactly like the sequential path's
+    # redundant same-cell fetch — images are bit-identical ("nodual"
+    # ablation switches the sequential structure back on for A/B).
+    dual = (j_steps == 2 and "nodual" not in ablate and not cut("fetch")
+            and not vmajor and fuse == 1)
+    vals_pair = None
+    if dual:
+        cross1 = t_nx <= t_nz
+        icx2p = jnp.where(
+            cross1,
+            jnp.clip(icx + step_x, cminx.astype(jnp.int32), cmaxx.astype(jnp.int32)),
+            icx)
+        icz2p = jnp.where(
+            ~cross1,
+            jnp.clip(icz + step_z, cminz.astype(jnp.int32), cmaxz.astype(jnp.int32)),
+            icz)
+        vals_pair = _gather_rows_pair(ctab, _cid(icx, icz), _cid(icx2p, icz2p),
+                                      blocks=cb, n_vals=4 * N_SLOTS)
+
+    for jstep in range(j_steps):
+        cid = _cid(icx, icz)
+        if dual:
+            vals = vals_pair[jstep]
+        elif cut("fetch"):
             vals = jax.lax.broadcast_in_dim(ox, (4 * N_SLOTS, ox.shape[1]), (0, 1))
         else:
             vals = _gather_rows(ctab, cid, blocks=cb, n_vals=4 * N_SLOTS,
@@ -542,16 +634,22 @@ def _iterate(st, acc_ref, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
     chunk_done = term & ~more  # current (pixel, call) chunk complete
 
     # flush the finished chunk's sum into its acc slot — fires once per
-    # spp samples per lane, so the 3*M-row select loop runs on only a
-    # small fraction of iterations (pl.when on a lane-reduced scalar)
-    @pl.when(jnp.any(chunk_done))
-    def _flush():
-        for m in range(m_slots):
-            sel = chunk_done & (mrow == m)
-            for c, cur in enumerate((cur_x, cur_y, cur_z)):
-                row = acc_ref[3 * m + c : 3 * m + c + 1, :]
-                acc_ref[3 * m + c : 3 * m + c + 1, :] = (
-                    row + jnp.where(sel, cur, 0.0))
+    # spp samples per lane.  Gated per 8-SLOT GROUP: lanes advance their m
+    # slots roughly in sync, so when a flush burst fires only one or two
+    # groups are active and the RMW loop touches 24-48 rows instead of
+    # 3*m_slots (192 at M=64) — this is what made larger M lose before
+    # (the flush loop scaled with M; r2 measured M=128 12% slower).
+    for grp in range(-(-m_slots // 8)):
+        sel_g = chunk_done & ((mrow >> 3) == grp)
+
+        @pl.when(jnp.any(sel_g))
+        def _flush(grp=grp, sel_g=sel_g):
+            for m in range(grp * 8, min(grp * 8 + 8, m_slots)):
+                sel = sel_g & (mrow == m)
+                for c, cur in enumerate((cur_x, cur_y, cur_z)):
+                    row = acc_ref[3 * m + c : 3 * m + c + 1, :]
+                    acc_ref[3 * m + c : 3 * m + c + 1, :] = (
+                        row + jnp.where(sel, cur, 0.0))
 
     cur_x = jnp.where(chunk_done, 0.0, cur_x)
     cur_y = jnp.where(chunk_done, 0.0, cur_y)
@@ -574,6 +672,10 @@ def _iterate(st, acc_ref, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
     fresh = jnp.where(adv, fresh_np, fresh_nc)
     regen = more | renew
     seed_c = jnp.where(renew, fresh, seed_a)
+    if not cut("tea") and "teaalways" not in ablate:
+        # renewed lanes' precomputed seeds are now stale; the pl.when block
+        # refreshes them next iteration, long before their next renew
+        fresh_ref[2:3, :] = jnp.where(renew, jnp.uint32(1), fresh_ref[2:3, :])
     fxn = jnp.where(adv, fx2, fx)
     fyn = jnp.where(adv, fy2, fy)
     if cut("camera"):
@@ -627,9 +729,9 @@ def _iterate(st, acc_ref, lane, scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab,
 
 
 def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab_ref,
-            atab_ref, fin_ref, uin_ref, fout_ref, uout_ref, acc_ref, *, m_slots,
-            n_lanes, p_total, width, max_depth, tmin, tmax, k_steps, j_steps,
-            skip_tmax, cb, ab, ablate, unroll, fuse):
+            atab_ref, fin_ref, uin_ref, fout_ref, uout_ref, acc_ref,
+            fresh_ref, *, m_slots, n_lanes, p_total, width, max_depth, tmin,
+            tmax, k_steps, j_steps, skip_tmax, cb, ab, ablate, unroll, fuse):
     lane = (
         jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
         + pl.program_id(0) * TILE
@@ -642,6 +744,11 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab_ref,
         # the iteration loop; chunk i's index rows address copy i)
         ctab = jnp.concatenate([ctab] * fuse, axis=0)
         atab = jnp.concatenate([atab] * fuse, axis=0)
+    elif (j_steps == 2 and "nodual" not in ablate and "cut_fetch" not in ablate
+          and "vmajor" not in ablate):
+        # paired-fetch production path (j=2): both march steps' fetches in
+        # one gather against the twice-stacked cell table (_iterate)
+        ctab = jnp.concatenate([ctab] * 2, axis=0)
 
     st = (
         *_vec3(fin_ref, R_O),
@@ -674,8 +781,12 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab_ref,
     # inherit unwritten rows from an aliased input (measured: they contain
     # another grid block's staged data), so every fout row is written below.
     acc_ref[:, :] = fin_ref[R_ACC : R_ACC + 3 * m_slots, :]
+    # precomputed fresh-seed rows (fnc, fnp, pend) — mutable within the
+    # invocation (pl.when recompute), persisted through the u32 state
+    fresh_ref[:, :] = uin_ref[U_FNC : U_FNC + 3, :]
     step = functools.partial(
-        _iterate, acc_ref=acc_ref, lane=lane, scal_ref=scal_ref,
+        _iterate, acc_ref=acc_ref, fresh_ref=fresh_ref, lane=lane,
+        scal_ref=scal_ref,
         vpr_ref=vpr_ref, gscal_ref=gscal_ref, gtab_ref=gtab_ref, ctab=ctab,
         atab=atab, m_slots=m_slots, n_lanes=n_lanes,
         p_total=p_total, width=width, max_depth=max_depth, tmin=tmin,
@@ -739,6 +850,7 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab_ref,
     uout_ref[U_ICX : U_ICX + 1, :] = icx.astype(jnp.uint32)
     uout_ref[U_ICZ : U_ICZ + 1, :] = icz.astype(jnp.uint32)
     uout_ref[U_CALL : U_CALL + 1, :] = cidx.astype(jnp.uint32)
+    uout_ref[U_FNC : U_FNC + 3, :] = fresh_ref[:, :]
 
 
 @functools.partial(
@@ -791,7 +903,8 @@ def grid_megakernel_step(scal, vpr, gscal, gtab, ctab, atab, fstate,
         input_output_aliases={6: 0, 7: 1},  # buffer reuse only — every
         # output row is still written (Mosaic does not preserve unwritten
         # rows of aliased outputs)
-        scratch_shapes=[pltpu.VMEM((3 * m_slots, TILE), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((3 * m_slots, TILE), jnp.float32),
+                        pltpu.VMEM((3, TILE), jnp.uint32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(scal, vpr, gscal, gtab, ctab, atab, fstate, ustate)

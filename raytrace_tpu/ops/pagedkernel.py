@@ -42,7 +42,7 @@ from . import rng as rngops
 from .gridkernel import (R_ACC, R_BKEY, R_CUR, R_D, R_FX, R_FY, R_O, R_TB,
                          R_TE, R_THR, R_TNX, R_TNZ, R_WCX, R_WCZ, TILE,
                          U_ALIVE, U_DEPTH, U_M, U_MARCH, U_ROWS, U_SEED,
-                         U_SIDX, _quadratic, _slab, f_rows)
+                         U_SIDX, _quadratic, f_rows)
 from .intersect import BIG
 from .megakernel import (_SKY, S_NUMBER, S_OFFX, S_SEEDY0, S_SPP, S_Y0,
                          _camera_rays_rows, _norm3, _vec3)
@@ -137,9 +137,27 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
         t_b = jnp.where(upd, tc, t_b)
         bkey = jnp.where(upd, _TAG + gtab_ref[k, 4], bkey)
 
-    t0x, t1x = _slab(ox, dx, gscal_ref[0, P_XLO], gscal_ref[0, P_XHI])
-    t0y, t1y = _slab(oy, dy, gscal_ref[0, P_YLO], gscal_ref[0, P_YHI])
-    t0z, t1z = _slab(oz, dz, gscal_ref[0, P_ZLO], gscal_ref[0, P_ZHI])
+    # one reciprocal per axis, reused by slab clip / first crossings / cell
+    # steps (the 7->3 divide reduction of gridkernel; ulp shifts in DDA
+    # decisions are absorbed by the builder's delta-enlarged registration)
+    inv_x = 1.0 / dx
+    inv_y = 1.0 / dy
+    inv_z = 1.0 / dz
+
+    def _slab_inv(o_c, d_c, inv, lo, hi):
+        ta = (lo - o_c) * inv
+        tb = (hi - o_c) * inv
+        t0 = jnp.minimum(ta, tb)
+        t1 = jnp.maximum(ta, tb)
+        deg = d_c == 0.0
+        inside = (o_c >= lo) & (o_c <= hi)
+        t0 = jnp.where(deg, jnp.where(inside, -BIG, BIG), t0)
+        t1 = jnp.where(deg, jnp.where(inside, BIG, -BIG), t1)
+        return t0, t1
+
+    t0x, t1x = _slab_inv(ox, dx, inv_x, gscal_ref[0, P_XLO], gscal_ref[0, P_XHI])
+    t0y, t1y = _slab_inv(oy, dy, inv_y, gscal_ref[0, P_YLO], gscal_ref[0, P_YHI])
+    t0z, t1z = _slab_inv(oz, dz, inv_z, gscal_ref[0, P_ZLO], gscal_ref[0, P_ZHI])
     t_start = jnp.maximum(jnp.maximum(t0x, t0y), jnp.maximum(t0z, tmin))
     t_end_n = jnp.minimum(jnp.minimum(t1x, t1y), t1z)
     march0 = need & (t_start <= t_end_n) & (t_start < t_b)
@@ -150,8 +168,8 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
     icz_n = jnp.clip(jnp.floor((pz0 - fminz) * inv_s), 0.0, fmaxz)
     bx = fminx + (icx_n + jnp.where(dx >= 0, 1.0, 0.0)) * cs
     bz = fminz + (icz_n + jnp.where(dz >= 0, 1.0, 0.0)) * cs
-    t_nx_n = jnp.where(dx == 0.0, BIG, (bx - ox) / dx)
-    t_nz_n = jnp.where(dz == 0.0, BIG, (bz - oz) / dz)
+    t_nx_n = jnp.where(dx == 0.0, BIG, (bx - ox) * inv_x)
+    t_nz_n = jnp.where(dz == 0.0, BIG, (bz - oz) * inv_z)
 
     t_end = jnp.where(need, t_end_n, t_end)
     t_nx = jnp.where(march0, t_nx_n, t_nx)
@@ -163,8 +181,8 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
     # ---- fine-DDA march: one cell per iteration ----------------------------
     step_x = jnp.where(dx >= 0, 1, -1)
     step_z = jnp.where(dz >= 0, 1, -1)
-    dt_x = jnp.where(dx == 0.0, BIG, jnp.abs(cs / dx))
-    dt_z = jnp.where(dz == 0.0, BIG, jnp.abs(cs / dz))
+    dt_x = jnp.where(dx == 0.0, BIG, jnp.abs(cs * inv_x))
+    dt_z = jnp.where(dz == 0.0, BIG, jnp.abs(cs * inv_z))
 
     icx = cell >> 12
     icz = cell & 4095

@@ -476,6 +476,10 @@ def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
     ustate = ustate.at[mk.U_SEED].set(seed)
     ustate = ustate.at[mk.U_SIDX].set(1)
     ustate = ustate.at[mk.U_ALIVE].set(alive0)
+    if backend == "grid":
+        # precomputed fresh-seed rows start stale; the kernel's pl.when
+        # block fills them on the first iteration, before any renew
+        ustate = ustate.at[mk.U_PEND].set(1)
 
     if (n_calls is not None or spp_last is not None) and backend != "grid":
         raise ValueError("in-kernel call merging is a grid-backend feature")

@@ -40,14 +40,14 @@ class ChipProfile:
 
 
 PROFILES = (
-    ChipProfile("v5 lite", 1 << 15, 64, 2500, 1, 4096, 10, 1,
+    ChipProfile("v5 lite", 1 << 15, 64, 2500, 1, 4096, 40, 2,
                 "measured operating point (docs/PERFORMANCE.md)"),
-    ChipProfile("v5e", 1 << 15, 64, 2500, 1, 4096, 10, 1,
+    ChipProfile("v5e", 1 << 15, 64, 2500, 1, 4096, 40, 2,
                 "same VPU geometry as lite at higher clock"),
-    ChipProfile("v5p", 1 << 15, 64, 6000, 1, 4096, 10, 1,
+    ChipProfile("v5p", 1 << 15, 64, 6000, 1, 4096, 40, 2,
                 "~2.3x lite VPU throughput -> calls finish ~2.3x sooner; "
                 "raise samples_per_call to keep ~35 s calls"),
-    ChipProfile("v6", 1 << 15, 64, 5000, 1, 4096, 10, 1,
+    ChipProfile("v6", 1 << 15, 64, 5000, 1, 4096, 40, 2,
                 "projection only; re-run the ablation scripts to pin"),
 )
 

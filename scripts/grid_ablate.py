@@ -25,7 +25,8 @@ VARIANTS = os.environ.get(
     "ABLATE_VARIANTS",
     "base,fetch2,resolve2,global2,camera2,isect2,dda2,shade2").split(",")
 
-gk.J_STEPS = 1
+gk.J_STEPS = int(os.environ.get("SWEEP_J", gk.J_STEPS))
+gk.K_STEPS = int(os.environ.get("SWEEP_K", gk.K_STEPS))
 renderers = {}
 for v in VARIANTS:
     gk.ABLATE = frozenset() if v == "base" else frozenset({v})

@@ -67,13 +67,27 @@ ctab = jnp.asarray(g.ctab)
 atab = jnp.asarray(g.atab)
 
 
-def run(ablate, invokes):
-    f, u = fstate0, ustate0
-    for _ in range(invokes):
-        f, u = gk.grid_megakernel_step(
+import functools
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("ablate", "invokes"))
+def _run_device(f, u, *, ablate, invokes):
+    # the invocation loop lives ON DEVICE: one relay dispatch per round —
+    # host-loop versions measured 2x round-to-round jitter from per-call
+    # dispatch latency through the axon relay
+    def body(_, st):
+        f, u = st
+        return gk.grid_megakernel_step(
             scal, vpr, gscal, gtab, ctab, atab, f, u,
             m_slots=M, n_lanes=n, p_total=p_total, width=W,
             max_depth=50, skip_tmax=True, ablate=ablate)
+
+    return jax.lax.fori_loop(0, invokes, body, (f, u))
+
+
+def run(ablate, invokes):
+    f, u = _run_device(fstate0, ustate0, ablate=ablate, invokes=invokes)
     return np.asarray(f[0])  # host fetch = real sync
 
 

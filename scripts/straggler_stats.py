@@ -1,16 +1,24 @@
-"""Oracle path statistics: segments/sample and DDA cells/segment.
+"""Per-pixel wavefront cost distribution + lane-assignment simulation.
 
-Produces the useful-work floor quoted in docs/PERFORMANCE.md ("Wavefront
-health"): the book scene averages ~1.92 segments per sample and ~0.39
-marched grid cells per segment (the globals pass prunes the march to zero
-cells for most segments), so the wavefront's iteration count has little
-algorithmic headroom left.
+Round-3 finding: production issues ~5.06 lane-iterations/sample at 200 spp
+(return_iters probe) against an oracle useful floor near ~2 — the wall is
+set by the MOST EXPENSIVE lane, and per-pixel costs are heavy-tailed (glass
+interiors run toward the depth-50 cap while sky pixels cost ~1), so lane
+sums over M=64 statically assigned pixels have a fat right tail.
 
-Runs the CPU oracle over randomly sampled pixels with the exact reference
-RNG streams, hooking `_closest_hit` to count segments and replaying the
-grid kernel's march-length rule per segment.
+This script measures the per-pixel iteration cost (oracle replay of the
+kernel's iterations-per-segment rule: max(1, cells marched)) on a pixel
+sample, then simulates lane-total distributions under assignment policies:
 
-Usage: python scripts/path_stats.py [n_pixels] [spp]
+  strided   — the production map (pixel = m*n_lanes + lane)
+  shuffled  — a random permutation (iid sampling into lanes)
+  lpt       — greedy longest-processing-time binning by known cost
+              (the upper bound a cost-feedback reassignment could reach)
+
+and reports max/mean lane cost — the wavefront's utilization ceiling —
+for each, at several M.
+
+Usage: python scripts/straggler_stats.py [n_pixels] [spp]
 """
 
 from __future__ import annotations
@@ -39,16 +47,14 @@ BIG = 3e30
 
 
 def main() -> int:
-    n_px = int(sys.argv[1]) if len(sys.argv) > 1 else 400
-    spp = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    n_px = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+    spp = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     sc = generate_random_scene(0.0)
     g = build_grid(sc, sphere_table(sc))
     gs = np.asarray(g.gscal)[0]
     xlo, xhi, ylo, yhi, zlo, zhi = gs[0], gs[1], gs[2], gs[3], gs[4], gs[5]
     cminx, cminz, cmaxx, cmaxz = gs[6], gs[7], gs[10], gs[11]
-
     glob = [i for i in range(int(sc.n_spheres)) if sc.radii[i] > 0.49]
-    stats = {"segments": 0, "cells": 0, "samples": 0}
 
     def slab(oc, dc, lo, hi):
         if dc == 0.0:
@@ -56,16 +62,15 @@ def main() -> int:
         ta, tb = (lo - oc) / dc, (hi - oc) / dc
         return min(ta, tb), max(ta, tb)
 
-    def cells_for(o, d, t_glob):
-        """March length by the kernel's rule (upper bound: ignores grid-hit
-        pruning, which only shortens it)."""
+    def iters_for(o, d, t_glob):
+        """Kernel iterations for one segment: max(1, cells marched)."""
         t0x, t1x = slab(o[0], d[0], xlo, xhi)
         t0y, t1y = slab(o[1], d[1], ylo, yhi)
         t0z, t1z = slab(o[2], d[2], zlo, zhi)
         ts = max(t0x, t0y, t0z, 1e-3)
         te = min(t1x, t1y, t1z)
         if ts > te or ts >= t_glob:
-            return 0
+            return 1
         px, pz = o[0] + ts * d[0], o[2] + ts * d[2]
         icx = np.clip(np.floor(px + 0.5), cminx, cmaxx)
         icz = np.clip(np.floor(pz + 0.5), cminz, cmaxz)
@@ -88,11 +93,11 @@ def main() -> int:
                 tnz += dtz
             n += 1
 
+    counter = {"iters": 0}
     orig = orc._closest_hit
 
     def hooked(scene, o, d, tmin, tmax):
-        stats["segments"] += 1
-        tg = BIG  # globals-only nearest t: the march's pruning bound
+        tg = BIG
         for i in glob:
             oc = np.asarray(o, np.float64) - scene.centers[i]
             dd = np.asarray(d, np.float64)
@@ -105,50 +110,63 @@ def main() -> int:
                     if 1e-3 <= t < tg:
                         tg = t
                         break
-        stats["cells"] += cells_for(
+        counter["iters"] += iters_for(
             np.asarray(o, np.float64), np.asarray(d, np.float64), tg)
         return orig(scene, o, d, tmin, tmax)
 
     orc._closest_hit = hooked
+    vp = viewport_arrays(reference_camera(), W, H)
+    up = np.asarray(vp.upper_left)
+    hor = np.asarray(vp.horizontal)
+    ver = np.asarray(vp.vertical)
+    frm = np.asarray(vp.look_from)
+    rng = np.random.default_rng(0)
+    pix = rng.choice(W * H, size=n_px, replace=False)
+    cost = np.zeros(n_px)
     try:
-        vp = viewport_arrays(reference_camera(), W, H)
-        up = np.asarray(vp.upper_left)
-        hor = np.asarray(vp.horizontal)
-        ver = np.asarray(vp.vertical)
-        frm = np.asarray(vp.look_from)
-        rng = np.random.default_rng(0)
-        for _ in range(n_px):
-            px = int(rng.integers(0, W))
-            py = int(rng.integers(0, H))
+        for j, p in enumerate(pix):
+            px, py = int(p % W), int(p // W)
             seed = rngops.tea_hash(
                 rngops.tea_hash(np.uint32(px), np.uint32(py)), np.uint32(0))
+            counter["iters"] = 0
             for _s in range(spp):
                 seed, r1 = rngops.random_float(seed)
                 seed, r2 = rngops.random_float(seed)
                 u = (px + r1) / W
                 v = (py + r2) / H
-                # NOTE: vertical is SUBTRACTED (shader.rgen:58 / trace.py
-                # _camera_rays).  The r2 version added it — sampling a
-                # vertically mirrored, sky-heavy image — which underestimated
-                # the useful floor ~2.6x (1.92 segments/sample, 0.39
-                # cells/segment); the corrected numbers are ~4-5
-                # iterations/sample with ~2.4 cells/segment
-                # (scripts/straggler_stats.py).
                 d = up + u * hor - v * ver - frm
-                seed, _ = rngops.random_float(seed)  # aperture draws (Q4: no-op)
+                seed, _ = rngops.random_float(seed)
                 seed, _ = rngops.random_float(seed)
                 seed, _c = orc._ray_color(
                     sc, frm.astype(np.float32), d.astype(np.float32), seed, 50)
-                stats["samples"] += 1
+            cost[j] = counter["iters"] / spp
+            if (j + 1) % 500 == 0:
+                print(f"{j+1}/{n_px} pixels...", flush=True)
     finally:
         orc._closest_hit = orig
 
-    print(stats)
-    print("segments/sample: %.2f   cells/segment: %.2f" % (
-        stats["segments"] / stats["samples"],
-        stats["cells"] / max(stats["segments"], 1)))
+    q = np.percentile(cost, [50, 90, 99, 99.9])
+    print(f"\nper-pixel iterations/sample: mean {cost.mean():.2f}  "
+          f"p50 {q[0]:.1f}  p90 {q[1]:.1f}  p99 {q[2]:.1f}  p99.9 {q[3]:.1f}  "
+          f"max {cost.max():.1f}")
+
+    # lane-total simulation: draw lane pixel sets from the measured cost
+    # distribution (iid — the strided map's spatial decorrelation makes this
+    # a good model; 'strided' row uses actual image-position sampling)
+    sim = np.random.default_rng(1)
+    for m in (16, 32, 64, 128):
+        n_lanes = 2048
+        draws = sim.choice(cost, size=(n_lanes, m), replace=True).sum(axis=1)
+        shuf = draws.max() / draws.mean()
+        # LPT bound: perfect knowledge binning of the same pixel pool
+        pool = np.sort(sim.choice(cost, size=n_lanes * m, replace=True))[::-1]
+        bins = np.zeros(n_lanes)
+        for c in pool:  # greedy into least-loaded bin (approx via argmin)
+            bins[np.argmin(bins)] += c
+        lpt = bins.max() / bins.mean()
+        print(f"M={m:<4} shuffled max/mean {shuf:.3f}   LPT bound {lpt:.3f}")
     return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    raise SystemExit(main())
