@@ -816,12 +816,26 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab_ref,
         # a *0.0 sink would risk algebraic simplification killing the rows)
         acc_ref[0:1, :] = acc_ref[0:1, :] + sum(extra) * np.float32(1e-30)
     elif unroll:
-        # static unroll: one basic block lets Mosaic schedule ACROSS
-        # iteration boundaries (iteration i+1's fetch gather depends only on
-        # the march advance early in iteration i's chain, so it can overlap
-        # i's resolve/shade tail — a fori_loop back edge forbids that)
-        for _ in range(k_steps):
-            st = step(st)
+        # static unroll: a multi-iteration basic block lets Mosaic schedule
+        # ACROSS iteration boundaries (iteration i+1's fetch gather depends
+        # only on the march advance early in iteration i's chain, so it can
+        # overlap i's resolve/shade tail — a fori_loop back edge forbids
+        # that).  unroll=True unrolls all k_steps (measured 47% slower at
+        # K=10: program-size pressure); an int N > 1 unrolls bodies of N
+        # inside a fori of k_steps//N (partial unroll).
+        if unroll is True or unroll >= k_steps:
+            for _ in range(k_steps):
+                st = step(st)
+        else:
+            n = int(unroll)
+            assert k_steps % n == 0, "k_steps must divide by the unroll factor"
+
+            def bodyn(_, st):
+                for _ in range(n):
+                    st = step(st)
+                return st
+
+            st = jax.lax.fori_loop(0, k_steps // n, bodyn, st)
     else:
         def body(_, st):
             return step(st)

@@ -182,6 +182,8 @@ def test_grid_unroll_variant_traces(book):
             grid_steps=steps))
 
     assert np.array_equal(call((1, 10, True)), call((1, 10, False)))
+    # partial unroll (bodies of N inside the fori) must also bit-match
+    assert np.array_equal(call((2, 10, 2, 1)), call((2, 10, False, 1)))
 
 
 def test_call_merge_matches_host_loop(book):
