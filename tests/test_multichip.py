@@ -137,3 +137,31 @@ def test_sharded_grid_backend():
     diff = np.any(single != multi, axis=2)
     assert diff.mean() <= 0.01, f"{diff.sum()} pixels differ"
     np.testing.assert_allclose(multi, single, rtol=0, atol=0.2)
+
+
+def test_sharded_grid_bit_identical_matched_bands():
+    """BIT-identity pin for the production backend under shard_map (ADVICE
+    r2 #3): a single-device render chunked at the SAME band height with
+    global seeds runs the identical per-band program, so even on XLA:CPU
+    the N-device image must match bitwise — no chaos budget."""
+    from raytrace_tpu.models.scene import generate_random_scene
+    from raytrace_tpu.ops.trace import (prepare_scene, render_band_core,
+                                        viewport_arrays)
+    from raytrace_tpu.runtime.renderer import reference_camera
+
+    W_, H_, SPP_, CHIPS = 32, 16, 2, 4
+    sc = generate_random_scene(0.0)
+    cfg = RenderConfig(samples=SPP_, width=W_, height=H_, max_depth=5,
+                       backend="grid", chips=CHIPS, pixels_per_lane=2)
+    multi, _ = MultiChipRenderer(cfg, scene=sc).render(SPP_)
+    ds = prepare_scene(sc)
+    vp = viewport_arrays(reference_camera(), W_, H_)
+    bh = H_ // CHIPS
+    bands = [
+        np.asarray(render_band_core(
+            ds, vp, band_h=bh, width=W_, y0=np.int32(y0), seed_y0=np.int32(y0),
+            offset_x=np.int32(0), spp=np.int32(SPP_), number=np.uint32(0),
+            max_depth=5, backend="grid", pixels_per_lane=2, skip_tmax=True))
+        for y0 in range(0, H_, bh)
+    ]
+    assert np.array_equal(np.concatenate(bands, axis=0), np.asarray(multi))
