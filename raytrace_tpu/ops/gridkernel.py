@@ -224,6 +224,21 @@ def _gather_rows_pair(tab2, cid_a, cid_b, *, blocks, n_vals):
     return jnp.concatenate(out_a, axis=1), jnp.concatenate(out_b, axis=1)
 
 
+def _slab_inv(o_c, d_c, inv, lo, hi):
+    """Ray vs axis slab [lo, hi] -> (t_enter, t_exit) using a precomputed
+    reciprocal (shared with the paged kernel); degenerate d handled
+    (inside -> (-BIG, BIG), outside -> empty)."""
+    ta = (lo - o_c) * inv
+    tb = (hi - o_c) * inv
+    t0 = jnp.minimum(ta, tb)
+    t1 = jnp.maximum(ta, tb)
+    deg = d_c == 0.0
+    inside = (o_c >= lo) & (o_c <= hi)
+    t0 = jnp.where(deg, jnp.where(inside, -BIG, BIG), t0)
+    t1 = jnp.where(deg, jnp.where(inside, BIG, -BIG), t1)
+    return t0, t1
+
+
 def _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a, cx, cy, cz, kc, *,
                tmin, tmax, skip_tmax):
     """shader.rint:44-60 on row data — the exact op order of
@@ -376,17 +391,6 @@ def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
     inv_x = 1.0 / dx
     inv_y = 1.0 / dy
     inv_z = 1.0 / dz
-
-    def _slab_inv(o_c, d_c, inv, lo, hi):
-        ta = (lo - o_c) * inv
-        tb = (hi - o_c) * inv
-        t0 = jnp.minimum(ta, tb)
-        t1 = jnp.maximum(ta, tb)
-        deg = d_c == 0.0
-        inside = (o_c >= lo) & (o_c <= hi)
-        t0 = jnp.where(deg, jnp.where(inside, -BIG, BIG), t0)
-        t1 = jnp.where(deg, jnp.where(inside, BIG, -BIG), t1)
-        return t0, t1
 
     if cut("init"):
         march0 = need & (t_b < -1.0)  # never true; skip clip/DDA-init

@@ -41,14 +41,17 @@ from ..models.paged_grid import (P_CY, P_FMAXX, P_FMAXZ, P_FMINX,
 from . import rng as rngops
 from .gridkernel import (R_ACC, R_BKEY, R_CUR, R_D, R_FX, R_FY, R_O, R_TB,
                          R_TE, R_THR, R_TNX, R_TNZ, R_WCX, R_WCZ, TILE,
-                         U_ALIVE, U_DEPTH, U_M, U_MARCH, U_ROWS, U_SEED,
-                         U_SIDX, _quadratic, f_rows)
+                         U_ALIVE, U_DEPTH, U_M, U_MARCH, U_SEED,
+                         U_SIDX, _quadratic, _slab_inv, f_rows)
 from .intersect import BIG
 from .megakernel import (_SKY, S_NUMBER, S_OFFX, S_SEEDY0, S_SPP, S_Y0,
                          _camera_rays_rows, _norm3, _vec3)
 from .shading_rows import shade_rows
 
 U_CELL, U_LANE0 = 6, 7
+U_ROWS = 8  # this kernel's own u32 row count — NOT gridkernel's (whose
+# call-merge/fresh-seed rows 8-11 don't exist here; an aliased output must
+# write every row it declares, so the row counts must match the writes)
 K_STEPS = 10
 # 2^23: bkey values >= are direct sphere ids.  Must stay a power of two
 # small enough that TAG + id is EXACT in f32 (ulp(2^23) = 1; 2^24 would
@@ -143,17 +146,6 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
     inv_x = 1.0 / dx
     inv_y = 1.0 / dy
     inv_z = 1.0 / dz
-
-    def _slab_inv(o_c, d_c, inv, lo, hi):
-        ta = (lo - o_c) * inv
-        tb = (hi - o_c) * inv
-        t0 = jnp.minimum(ta, tb)
-        t1 = jnp.maximum(ta, tb)
-        deg = d_c == 0.0
-        inside = (o_c >= lo) & (o_c <= hi)
-        t0 = jnp.where(deg, jnp.where(inside, -BIG, BIG), t0)
-        t1 = jnp.where(deg, jnp.where(inside, BIG, -BIG), t1)
-        return t0, t1
 
     t0x, t1x = _slab_inv(ox, dx, inv_x, gscal_ref[0, P_XLO], gscal_ref[0, P_XHI])
     t0y, t1y = _slab_inv(oy, dy, inv_y, gscal_ref[0, P_YLO], gscal_ref[0, P_YHI])

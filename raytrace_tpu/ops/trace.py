@@ -274,6 +274,8 @@ def render_band_core(
     through ~20.  Per-pixel RNG streams and results are IDENTICAL for any M
     (lane scheduling never reorders a pixel's sequential samples).
     """
+    if (n_calls is not None or spp_last is not None) and backend != "grid":
+        raise ValueError("in-kernel call merging is a grid-backend feature")
     if backend in ("mega", "grid"):
         return _render_band_mega(
             scene, vp, band_h=band_h, width=width, y0=y0, seed_y0=seed_y0,
@@ -481,8 +483,6 @@ def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
         # block fills them on the first iteration, before any renew
         ustate = ustate.at[mk.U_PEND].set(1)
 
-    if (n_calls is not None or spp_last is not None) and backend != "grid":
-        raise ValueError("in-kernel call merging is a grid-backend feature")
     scal = jnp.zeros((1, 8), jnp.int32)
     scal = scal.at[0, mk.S_SPP].set(spp)
     scal = scal.at[0, mk.S_NUMBER].set(jnp.uint32(number).astype(jnp.int32))

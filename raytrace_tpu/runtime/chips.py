@@ -5,8 +5,12 @@ v5e-lite (docs/PERFORMANCE.md).  Other chips shift the optimum in
 predictable directions — more VMEM allows larger TILE before spills, more
 cores/higher clock shortens a call so ``samples_per_call`` can grow within
 the same watchdog budget, and HBM bandwidth moves the state-DMA/compute
-balance.  This table records the recommended soft knobs per device kind;
-``Renderer`` consults it when the config leaves them unset.  TILE/K/J are
+balance.  This table records the recommended soft knobs per device kind.
+Consumers: ``Renderer`` reads ``lanes_target``/``m_max`` for the
+pixels-per-lane heuristic; ``bench.py`` reads ``samples_per_call`` for its
+watchdog-safe chunking default; ``calls_per_exec`` is the recommended
+``RenderConfig.calls_per_exec`` when opting into the in-kernel call merge
+(long renders with small per-call spp).  TILE/K/J are
 compile-time kernel constants (``ops/gridkernel.py``) — their per-chip
 optima are listed here as documentation and as the seed values for a
 measurement pass on new hardware (use scripts/grid_ablate.py +

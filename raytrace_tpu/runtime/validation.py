@@ -64,8 +64,9 @@ def golden_check(backend: str = "mega", golden_path: Optional[str] = None,
     out, (w, h) = _render_golden_config(backend, multi_tile)
     diff = np.abs(out - golden)
     bad = int((diff.max(axis=2) > 1e-3).sum())
-    # tile must divide into the small golden configs (24x14 / 128x72)
-    res = compare_accums(out, golden, SPP, SPP, tile=8 if multi_tile else 7)
+    # the tile size must DIVIDE the golden dims or compare_accums silently
+    # crops the remainder out of the z gate: 8 | (128, 72); 2 | (24, 14)
+    res = compare_accums(out, golden, SPP, SPP, tile=8 if multi_tile else 2)
     return {
         "backend": backend,
         "bad_px": bad,

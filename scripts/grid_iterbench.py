@@ -17,6 +17,7 @@ cut_* — this is a cost probe only.
 Usage: [VARIANTS=base,cut_fetch,...] [INVOKES=300] python scripts/grid_iterbench.py
 """
 
+import functools
 import os
 import statistics
 import sys
@@ -24,10 +25,9 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from raytrace_tpu.models.scene import generate_random_scene
 from raytrace_tpu.ops import gridkernel as gk
@@ -65,10 +65,6 @@ gscal = jnp.asarray(g.gscal)
 gtab = jnp.asarray(g.gtab)
 ctab = jnp.asarray(g.ctab)
 atab = jnp.asarray(g.atab)
-
-
-import functools
-import jax.numpy as jnp
 
 
 @functools.partial(jax.jit, static_argnames=("ablate", "invokes"))
