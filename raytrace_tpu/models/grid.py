@@ -37,7 +37,9 @@ CELL_LANES = 128  # dynamic_gather lane-table width
 N_SLOTS = 4  # candidate spheres per cell
 DELTA = 1e-2  # conservative AABB enlargement (>> DDA fp slop)
 MAX_CELLS = 8 * CELL_LANES  # CB <= 8 keeps the fetch tables small
-MAX_GLOBALS = 8
+MAX_GLOBALS = 8  # genuinely-large spheres (each is a per-segment quadratic
+#                  that does NOT prune the march the way cell tests do)
+MAX_GTAB = 32  # global-table rows incl. boundary-line spills (below)
 POISON = np.float32(3e30)  # kc sentinel: disc < 0 -> NaN sqrt -> miss
 
 
@@ -107,16 +109,64 @@ def build_grid(scene, table: np.ndarray) -> Optional[GridTables]:
 
     cx, cz = centers[s_idx, 0], centers[s_idx, 2]
     r = radii[s_idx]
-    # half-integer lattice: cell c covers [c-0.5, c+0.5)
-    cmin_x = int(np.floor((cx - r - DELTA).min() + 0.5))
-    cmax_x = int(np.floor((cx + r + DELTA).max() + 0.5))
-    cmin_z = int(np.floor((cz - r - DELTA).min() + 0.5))
-    cmax_z = int(np.floor((cz + r + DELTA).max() + 0.5))
-    # guard ring: one empty cell on each side absorbs DDA boundary fp slop
-    cmin_x -= 1
-    cmax_x += 1
-    cmin_z -= 1
-    cmax_z += 1
+    # half-integer lattice: cell c covers [c-0.5, c+0.5).  Per-sphere cell
+    # ranges of the delta-enlarged AABBs (same f32 expression the old
+    # per-sphere registration loop used):
+    rr = r + np.float32(DELTA)
+    ix0 = np.floor((cx - rr) + 0.5).astype(np.int64)
+    ix1 = np.floor((cx + rr) + 0.5).astype(np.int64)
+    iz0 = np.floor((cz - rr) + 0.5).astype(np.int64)
+    iz1 = np.floor((cz + rr) + 0.5).astype(np.int64)
+
+    # No guard ring (round 3): the delta-enlarged registration already
+    # absorbs every interior DDA boundary case, and a ray entering through
+    # a box FACE computes its entry cell at the face coordinate, where
+    # floor+clip cannot land past the boundary cell — so the one-cell empty
+    # ring only inflated the cell count (book scene: 625 -> 529 cells).
+    #
+    # Boundary-line SPILL: when dropping a whole boundary cell line lowers
+    # the fetch block count cb = ceil(cells/128), every sphere registered in
+    # that line is moved to the brute-forced globals table instead (measured
+    # marginal cost ~0.075%/global vs ~5% per fetch block).  Greedy over the
+    # four boundary lines, keeping the snapshot with the lowest (cb, spill
+    # count); the book scene spills one ~15-sphere line: 529 -> 506 cells,
+    # cb 5 -> 4.
+    act = np.ones(len(s_idx), bool)
+
+    def _cells(a):
+        ncx = int(ix1[a].max() - ix0[a].min() + 1)
+        ncz = int(iz1[a].max() - iz0[a].min() + 1)
+        return ncx * ncz
+
+    budget = MAX_GTAB - len(g_idx)
+    best = (-(-_cells(act) // CELL_LANES), 0, act.copy())
+    cur = act
+    for _ in range(6):
+        lo_x, hi_x = ix0[cur].min(), ix1[cur].max()
+        lo_z, hi_z = iz0[cur].min(), iz1[cur].max()
+        lines = [ix0 <= lo_x, ix1 >= hi_x, iz0 <= lo_z, iz1 >= hi_z]
+        costs = [int((m & cur).sum()) for m in lines]
+        pick = int(np.argmin(costs))
+        spilled = (len(s_idx) - int(cur.sum())) + costs[pick]
+        if spilled > budget:
+            break
+        nxt = cur & ~lines[pick]
+        if not nxt.any():
+            break
+        cur = nxt
+        cand = (-(-_cells(cur) // CELL_LANES), spilled, cur.copy())
+        if cand[:2] < best[:2]:
+            best = cand
+    act = best[2]
+    if not act.all():
+        g_idx = np.concatenate([g_idx, s_idx[~act]])
+        s_idx = s_idx[act]
+        cx, cz, r = cx[act], cz[act], r[act]
+        ix0, ix1, iz0, iz1 = ix0[act], ix1[act], iz0[act], iz1[act]
+        cy = cy[act]
+
+    cmin_x, cmax_x = int(ix0.min()), int(ix1.max())
+    cmin_z, cmax_z = int(iz0.min()), int(iz1.max())
     ncx = cmax_x - cmin_x + 1
     ncz = cmax_z - cmin_z + 1
     n_cells = ncx * ncz
@@ -134,13 +184,9 @@ def build_grid(scene, table: np.ndarray) -> Optional[GridTables]:
     # register each sphere in every cell its enlarged AABB overlaps;
     # s_idx is ascending, so slots end up sorted by sphere index
     for si, sphere in enumerate(s_idx):
-        x, z, rr = cx[si], cz[si], r[si] + DELTA
-        ix0 = int(np.floor((x - rr) + 0.5))
-        ix1 = int(np.floor((x + rr) + 0.5))
-        iz0 = int(np.floor((z - rr) + 0.5))
-        iz1 = int(np.floor((z + rr) + 0.5))
-        for ix in range(ix0, ix1 + 1):
-            for iz in range(iz0, iz1 + 1):
+        x, z = cx[si], cz[si]
+        for ix in range(int(ix0[si]), int(ix1[si]) + 1):
+            for iz in range(int(iz0[si]), int(iz1[si]) + 1):
                 cell = (ix - cmin_x) * ncz + (iz - cmin_z)
                 k = counts[cell]
                 if k >= N_SLOTS:
@@ -164,20 +210,23 @@ def build_grid(scene, table: np.ndarray) -> Optional[GridTables]:
             ctab[b * nv + s * 4 + 2] = slots_kc[s, sl]
             ctab[b * nv + s * 4 + 3] = slots_id[s, sl]
 
-    # attrs by global sphere id: mat, c0.rgb, attr (table cols 11, 13:16, 19)
+    # attrs by global sphere id: mat, c0.rgb, attr, center.xyz — 8 values
+    # in an 8-row stride per block.  The stride exists for Mosaic alignment
+    # (blocks must start 8-aligned for the chunk lane-concat); rows 5-7
+    # carry the sphere CENTER so winner resolution reads everything from
+    # this one gather — no gtab center-select chain, no carried-center
+    # dependence (the kernel still carries wcx/wcz for the paged backend's
+    # shared state layout, but the grid resolve doesn't read them)
     s_tot = table.shape[0]
     ab = -(-s_tot // CELL_LANES)
     ids_pad = ab * CELL_LANES
-    attrs = np.zeros((5, ids_pad), np.float32)
+    attrs = np.zeros((8, ids_pad), np.float32)
     attrs[0, :s_tot] = table[:, 11]  # mat
     attrs[1:4, :s_tot] = table[:, 13:16].T  # c0
     attrs[4, :s_tot] = table[:, 19]  # attr (fuzz / refraction index)
-    # block-major with an 8-row stride (3 pad rows per block): Mosaic can
-    # only concatenate chunk slices whose sublane offsets agree, so block
-    # starts must be 8-aligned (a 5-row stride puts successive chunks at
-    # offsets {0,4,...} and the lowering rejects the lane-concat)
+    attrs[5:8, :s_tot] = table[:, 0:3].T  # center (exact scene f32 values)
     atab = np.zeros((8 * ab, CELL_LANES), np.float32)
-    for v in range(5):
+    for v in range(8):
         for b in range(ab):
             atab[b * 8 + v] = attrs[v, b * CELL_LANES : (b + 1) * CELL_LANES]
 

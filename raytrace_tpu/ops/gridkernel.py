@@ -477,8 +477,9 @@ def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
             upd = marching & (tc < t_b)
             t_b = jnp.where(upd, tc, t_b)
             bkey = jnp.where(upd, vals[4 * s + 3 : 4 * s + 4, :], bkey)
-            wcx = jnp.where(upd, vals[4 * s : 4 * s + 1, :], wcx)
-            wcz = jnp.where(upd, vals[4 * s + 1 : 4 * s + 2, :], wcz)
+            # (winner centers come from the resolve gather's rows 5-7 now;
+            # wcx/wcz ride the shared state layout unwritten for the paged
+            # kernel's sake but the grid path no longer maintains them)
         if "isect2" in ablate:  # additive cost probe: duplicate the 4-slot
             never = (seed == jnp.uint32(0xFFFFFFFF)) & (cid < -1)  # quadratics
             tacc = t_b
@@ -539,12 +540,12 @@ def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
     is_direct = bkey >= _TAG
     bidx = jnp.where(is_direct, bkey - _TAG, bkey).astype(jnp.int32)
     if cut("resolve"):
-        at = jax.lax.broadcast_in_dim(bkey, (5, bkey.shape[1]), (0, 1))
+        at = jax.lax.broadcast_in_dim(bkey, (8, bkey.shape[1]), (0, 1))
     else:
-        at = _gather_rows(atab, bidx, blocks=ab, n_vals=5, stride=8, fuse=fuse,
+        at = _gather_rows(atab, bidx, blocks=ab, n_vals=8, fuse=fuse,
                           narrow_select=vmajor)
     if "resolve2" in ablate:  # additive cost probe: duplicate atab
-        at2 = _gather_rows(atab, bidx + 1, blocks=ab, n_vals=5, stride=8,
+        at2 = _gather_rows(atab, bidx + 1, blocks=ab, n_vals=8,
                            fuse=fuse, narrow_select=vmajor)
         never = (seed == jnp.uint32(0xFFFFFFFF)) & (bidx < -1)
         at = jnp.where(never, at2, at)
@@ -552,32 +553,25 @@ def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
     mat = at[0:1, :]
     c0x, c0y, c0z = at[1:2, :], at[2:3, :], at[3:4, :]
     fuzz = at[4:5, :]
-    # center / tex / c1: carried (grid winners) or selected from the tiny
-    # global table (<= a handful of rows; tex/c1 exist only on globals)
+    # the winner's CENTER rides the same gather (atab rows 5-7) for grid
+    # and global winners alike — no gtab select chain, no carried-center
+    # read (the old chain cost 7 selects per gtab row and capped how many
+    # globals were affordable)
+    cenx, ceny, cenz = at[5:6, :], at[6:7, :], at[7:8, :]
+    # tex / checker second color exist only on globals (builder contract):
+    # 4 selects per gtab row, matched by sphere id (padding rows carry
+    # id -2 and real grid winners -1, so neither ever matches)
     bidx_f = jnp.where(is_direct, bkey - _TAG, np.float32(-1.0))
-    gcx = jnp.full_like(t_b, gtab_ref[0, 0])
-    gcy = jnp.full_like(t_b, gtab_ref[0, 1])
-    gcz = jnp.full_like(t_b, gtab_ref[0, 2])
-    gtex = jnp.full_like(t_b, gtab_ref[0, 6])
-    gc1x = jnp.full_like(t_b, gtab_ref[0, 10])
-    gc1y = jnp.full_like(t_b, gtab_ref[0, 11])
-    gc1z = jnp.full_like(t_b, gtab_ref[0, 12])
-    for k in range(1, gtab_ref.shape[0]):
+    tex = jnp.zeros_like(t_b)
+    c1x = jnp.zeros_like(t_b)
+    c1y = jnp.zeros_like(t_b)
+    c1z = jnp.zeros_like(t_b)
+    for k in range(gtab_ref.shape[0]):
         sel = bidx_f == gtab_ref[k, 4]
-        gcx = jnp.where(sel, gtab_ref[k, 0], gcx)
-        gcy = jnp.where(sel, gtab_ref[k, 1], gcy)
-        gcz = jnp.where(sel, gtab_ref[k, 2], gcz)
-        gtex = jnp.where(sel, gtab_ref[k, 6], gtex)
-        gc1x = jnp.where(sel, gtab_ref[k, 10], gc1x)
-        gc1y = jnp.where(sel, gtab_ref[k, 11], gc1y)
-        gc1z = jnp.where(sel, gtab_ref[k, 12], gc1z)
-    cenx = jnp.where(is_direct, gcx, wcx)
-    ceny = jnp.where(is_direct, gcy, gscal_ref[0, G_CY])
-    cenz = jnp.where(is_direct, gcz, wcz)
-    tex = jnp.where(is_direct, gtex, 0.0)
-    c1x = jnp.where(is_direct, gc1x, 0.0)
-    c1y = jnp.where(is_direct, gc1y, 0.0)
-    c1z = jnp.where(is_direct, gc1z, 0.0)
+        tex = jnp.where(sel, gtab_ref[k, 6], tex)
+        c1x = jnp.where(sel, gtab_ref[k, 10], c1x)
+        c1y = jnp.where(sel, gtab_ref[k, 11], c1y)
+        c1z = jnp.where(sel, gtab_ref[k, 12], c1z)
 
     # ---- shading: shader.rchit (shared row implementation) -------------
     if cut("shade"):

@@ -42,20 +42,30 @@ def _render(ds, backend, *, depth, spp, m=2):
 def test_builder_book_scene(book):
     g = book.grid
     assert g is not None
-    # 25x25 half-integer lattice incl. guard ring -> 5 cell blocks;
+    # no guard ring + one boundary cell line spilled into the globals table:
+    # 23x22 half-integer lattice = 506 cells -> 4 cell blocks (cb=4, was 5);
     # 4 values per slot (cx, cz, kc, global sphere id)
-    assert g.ctab.shape == (80, 128)
-    assert g.atab.shape == (32, 128) and g.gtab.shape == (4, 16)
-    # globals: ground + 3 heroes (exactly — no padding rows needed)
+    assert g.ctab.shape == (64, 128)
+    assert g.atab.shape == (32, 128)
+    # globals: ground + 3 heroes + the spilled boundary line (~14 spheres)
+    assert g.gtab.shape[0] <= 32
     assert list(g.gtab[:4, 4]) == [0.0, 1.0, 2.0, 3.0]
-    # every small sphere is registered in every cell its delta-enlarged AABB
-    # overlaps: 1 cell when it fits inside one, up to 4 at a cell corner
+    n_globals = int((g.gtab[:, 4] >= 0).sum())
+    assert 4 < n_globals <= g.gtab.shape[0]
+    # every small sphere is either a spilled global or registered in every
+    # cell its delta-enlarged AABB overlaps (1 cell when it fits inside
+    # one, up to 4 at a cell corner) — and never both
     cb = g.ctab.shape[0] // 16
     # block-major rows: block*16 + slot*4 + 3 is the slot's id row
     id_rows = g.ctab[[b * 16 + s * 4 + 3 for s in range(4) for b in range(cb)]]
     ids = id_rows[id_rows > 0]
     counts = np.bincount(ids.astype(int), minlength=488)
-    assert (counts[4:488] >= 1).all() and (counts[4:488] <= 4).all()
+    gids = set(g.gtab[g.gtab[:, 4] >= 0, 4].astype(int).tolist())
+    for sid in range(4, 488):
+        if sid in gids:
+            assert counts[sid] == 0
+        else:
+            assert 1 <= counts[sid] <= 4
 
 
 def test_builder_rejects_ungridable():
