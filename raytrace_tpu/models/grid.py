@@ -61,6 +61,12 @@ class GridTables(NamedTuple):
     #                   tex/c1 exist only on globals (builder requirement)
     gtab: np.ndarray  # [Gp, 16] globals (SMEM):
     #                   cx,cy,cz,kc,idx,mat,tex,c0.rgb,c1.rgb,attr,0,0
+    gttab: np.ndarray  # [Tp, 16] the TEXTURED rows of gtab only (same
+    #                   layout): the winner-resolution tex/c1 select chain
+    #                   loops over these — solid-color globals (and
+    #                   boundary-line spills) get the chain's 0-defaults,
+    #                   which is exactly what texture 0 means, so the chain
+    #                   cost doesn't scale with the spill count
     gscal: np.ndarray  # [1, 16] f32 scalars: xlo,xhi,ylo,yhi,zlo,zhi,
     #                    cminx,cminz,ncz_f,cy_uniform,cmaxx,cmaxz
     # (cell/attr block counts are derived from ctab/atab shapes — the tuple
@@ -243,6 +249,10 @@ def build_grid(scene, table: np.ndarray) -> Optional[GridTables]:
         gtab[k, 7:10] = np.asarray(scene.color0[sphere], np.float32)
         gtab[k, 10:13] = np.asarray(scene.color1[sphere], np.float32)
         gtab[k, 13] = np.float32(scene.attr[sphere])
+    tex_rows = gtab[:len(g_idx)][gtab[:len(g_idx), 6] != 0.0]
+    gttab = np.zeros((max(1, tex_rows.shape[0]), 16), np.float32)
+    gttab[:, 4] = -2.0  # padding idx matches no winner
+    gttab[: tex_rows.shape[0]] = tex_rows
 
     y_lo = np.float32((cy - radii[s_idx]).min() - DELTA)
     y_hi = np.float32((cy + radii[s_idx]).max() + DELTA)
@@ -260,4 +270,5 @@ def build_grid(scene, table: np.ndarray) -> Optional[GridTables]:
     gscal[0, G_CMAXX] = np.float32(cmax_x)
     gscal[0, G_CMAXZ] = np.float32(cmax_z)
 
-    return GridTables(ctab=ctab, atab=atab, gtab=gtab, gscal=gscal)
+    return GridTables(ctab=ctab, atab=atab, gtab=gtab, gttab=gttab,
+                      gscal=gscal)

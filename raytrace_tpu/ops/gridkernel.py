@@ -261,7 +261,7 @@ def _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a, cx, cy, cz, kc, *,
 
 
 def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
-             gtab_ref, ctab, atab, *, m_slots, n_lanes, p_total, width,
+             gtab_ref, gttab_ref, ctab, atab, *, m_slots, n_lanes, p_total, width,
              max_depth, tmin, tmax, skip_tmax, j_steps, cb, ab, ablate, fuse):
     """One wavefront iteration: [start new segments] -> [J DDA steps] ->
     [shade/accumulate/regen lanes whose segment completed].
@@ -558,20 +558,23 @@ def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
     # read (the old chain cost 7 selects per gtab row and capped how many
     # globals were affordable)
     cenx, ceny, cenz = at[5:6, :], at[6:7, :], at[7:8, :]
-    # tex / checker second color exist only on globals (builder contract):
-    # 4 selects per gtab row, matched by sphere id (padding rows carry
-    # id -2 and real grid winners -1, so neither ever matches)
+    # tex / checker second color exist only on TEXTURED globals (builder
+    # contract — gttab holds just those rows, usually 1: the checkered
+    # ground): 4 selects per row, matched by sphere id (padding rows carry
+    # id -2 and real grid winners -1, so neither ever matches).  Solid
+    # globals and boundary-line spills get the 0-defaults, which IS what
+    # texture 0 means, so the chain cost doesn't scale with the spill.
     bidx_f = jnp.where(is_direct, bkey - _TAG, np.float32(-1.0))
     tex = jnp.zeros_like(t_b)
     c1x = jnp.zeros_like(t_b)
     c1y = jnp.zeros_like(t_b)
     c1z = jnp.zeros_like(t_b)
-    for k in range(gtab_ref.shape[0]):
-        sel = bidx_f == gtab_ref[k, 4]
-        tex = jnp.where(sel, gtab_ref[k, 6], tex)
-        c1x = jnp.where(sel, gtab_ref[k, 10], c1x)
-        c1y = jnp.where(sel, gtab_ref[k, 11], c1y)
-        c1z = jnp.where(sel, gtab_ref[k, 12], c1z)
+    for k in range(gttab_ref.shape[0]):
+        sel = bidx_f == gttab_ref[k, 4]
+        tex = jnp.where(sel, gttab_ref[k, 6], tex)
+        c1x = jnp.where(sel, gttab_ref[k, 10], c1x)
+        c1y = jnp.where(sel, gttab_ref[k, 11], c1y)
+        c1z = jnp.where(sel, gttab_ref[k, 12], c1z)
 
     # ---- shading: shader.rchit (shared row implementation) -------------
     if cut("shade"):
@@ -726,7 +729,7 @@ def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
     return st2
 
 
-def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab_ref,
+def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, gttab_ref, ctab_ref,
             atab_ref, fin_ref, uin_ref, fout_ref, uout_ref, acc_ref,
             fresh_ref, *, m_slots, n_lanes, p_total, width, max_depth, tmin,
             tmax, k_steps, j_steps, skip_tmax, cb, ab, ablate, unroll, fuse):
@@ -785,7 +788,8 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab_ref,
     step = functools.partial(
         _iterate, acc_ref=acc_ref, fresh_ref=fresh_ref, lane=lane,
         scal_ref=scal_ref,
-        vpr_ref=vpr_ref, gscal_ref=gscal_ref, gtab_ref=gtab_ref, ctab=ctab,
+        vpr_ref=vpr_ref, gscal_ref=gscal_ref, gtab_ref=gtab_ref,
+        gttab_ref=gttab_ref, ctab=ctab,
         atab=atab, m_slots=m_slots, n_lanes=n_lanes,
         p_total=p_total, width=width, max_depth=max_depth, tmin=tmin,
         tmax=tmax, skip_tmax=skip_tmax, j_steps=j_steps, cb=cb, ab=ab,
@@ -872,7 +876,7 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, ctab_ref,
         "j_steps", "skip_tmax", "ablate", "interpret", "unroll", "fuse",
     ),
 )
-def grid_megakernel_step(scal, vpr, gscal, gtab, ctab, atab, fstate,
+def grid_megakernel_step(scal, vpr, gscal, gtab, gttab, ctab, atab, fstate,
                          ustate, *, m_slots, n_lanes, p_total, width,
                          max_depth, k_steps=K_STEPS, j_steps=J_STEPS,
                          skip_tmax=False, ablate=(), interpret=False,
@@ -898,7 +902,8 @@ def grid_megakernel_step(scal, vpr, gscal, gtab, ctab, atab, fstate,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scal (1, 8) i32
             pl.BlockSpec(memory_space=pltpu.SMEM),  # vpr (1, 24) f32
             pl.BlockSpec(memory_space=pltpu.SMEM),  # gscal (1, 16) f32
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # gtab (8, 8) f32
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # gtab (Gp, 16) f32
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # gttab (Tp, 16) f32
             pl.BlockSpec(ctab.shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(atab.shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rf, TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
@@ -912,11 +917,11 @@ def grid_megakernel_step(scal, vpr, gscal, gtab, ctab, atab, fstate,
             jax.ShapeDtypeStruct((rf, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((U_ROWS, n_pad), jnp.uint32),
         ],
-        input_output_aliases={6: 0, 7: 1},  # buffer reuse only — every
+        input_output_aliases={7: 0, 8: 1},  # buffer reuse only — every
         # output row is still written (Mosaic does not preserve unwritten
         # rows of aliased outputs)
         scratch_shapes=[pltpu.VMEM((3 * m_slots, TILE), jnp.float32),
                         pltpu.VMEM((3, TILE), jnp.uint32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(scal, vpr, gscal, gtab, ctab, atab, fstate, ustate)
+    )(scal, vpr, gscal, gtab, gttab, ctab, atab, fstate, ustate)

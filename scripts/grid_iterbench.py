@@ -63,6 +63,7 @@ vpr = jnp.concatenate([
 
 gscal = jnp.asarray(g.gscal)
 gtab = jnp.asarray(g.gtab)
+gttab = jnp.asarray(g.gttab)
 ctab = jnp.asarray(g.ctab)
 atab = jnp.asarray(g.atab)
 
@@ -75,7 +76,7 @@ def _run_device(f, u, *, ablate, invokes):
     def body(_, st):
         f, u = st
         return gk.grid_megakernel_step(
-            scal, vpr, gscal, gtab, ctab, atab, f, u,
+            scal, vpr, gscal, gtab, gttab, ctab, atab, f, u,
             m_slots=M, n_lanes=n, p_total=p_total, width=W,
             max_depth=50, skip_tmax=True, ablate=ablate)
 
