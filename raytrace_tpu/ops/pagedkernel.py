@@ -100,12 +100,31 @@ def _page_fetch(tab_ref, page, fc, masked, *, n_rows, poison_rows):
 
 def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
              attrs_ref, *, m_slots, n_lanes, p_total, width, max_depth,
-             tmin, tmax, skip_tmax, n_slots, ab):
+             tmin, tmax, skip_tmax, n_slots, ab, ablate):
     (ox, oy, oz, dx, dy, dz, fx, fy, tx_, ty_, tz_,
      t_b, t_end, t_nx, t_nz, bkey, wcx, wcz, cr_, cg_, cb2_,
      seed, mrow, sidx, depth, alive_i, march_i, cell, lane0) = st
     alive = alive_i != 0
     marching = march_i != 0
+
+    # removal ablations (scripts/paged_iterbench.py), mirroring
+    # gridkernel's: each cut_* replaces one section with a same-shaped
+    # passthrough of LIVE rows so its serial share can be measured by
+    # removal.  Unlike the grid kernel, DEAD lanes won't do: the paged
+    # fetch's page loop has a DYNAMIC trip count (the chunk's page spread)
+    # that collapses to zero when the lane mask is empty — so the probe
+    # instead runs LIVE lanes under the 'freeze' switch, which executes
+    # every section at realistic page spreads but pins the march state
+    # (cells never advance, nothing terminates), making the control flow
+    # identical across all cut variants.  Images are INVALID under any of
+    # these switches; production passes ablate=().
+    def cut(name):
+        return ("cut_" + name) in ablate
+
+    freeze = "freeze" in ablate
+    # opaque never-true mask: consumes discarded results under freeze so
+    # the compiler cannot fold the sections being measured
+    never = (seed == jnp.uint32(0xFFFFFFFF)) & (cell < -1)
 
     spp_i = scal_ref[0, S_SPP]
     number = scal_ref[0, S_NUMBER].astype(jnp.uint32)
@@ -131,14 +150,15 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
     need = alive & ~marching
     t_b = jnp.where(need, BIG, t_b)
     bkey = jnp.where(need, _TAG, bkey)
-    for k in range(gtab_ref.shape[0]):
-        tc = _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a,
-                        gtab_ref[k, 0], gtab_ref[k, 1], gtab_ref[k, 2],
-                        gtab_ref[k, 3], tmin=tmin, tmax=tmax,
-                        skip_tmax=skip_tmax)
-        upd = need & (tc < t_b)
-        t_b = jnp.where(upd, tc, t_b)
-        bkey = jnp.where(upd, _TAG + gtab_ref[k, 4], bkey)
+    if not cut("globals"):
+        for k in range(gtab_ref.shape[0]):
+            tc = _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a,
+                            gtab_ref[k, 0], gtab_ref[k, 1], gtab_ref[k, 2],
+                            gtab_ref[k, 3], tmin=tmin, tmax=tmax,
+                            skip_tmax=skip_tmax)
+            upd = need & (tc < t_b)
+            t_b = jnp.where(upd, tc, t_b)
+            bkey = jnp.where(upd, _TAG + gtab_ref[k, 4], bkey)
 
     # one reciprocal per axis, reused by slab clip / first crossings / cell
     # steps (the 7->3 divide reduction of gridkernel; ulp shifts in DDA
@@ -147,27 +167,30 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
     inv_y = 1.0 / dy
     inv_z = 1.0 / dz
 
-    t0x, t1x = _slab_inv(ox, dx, inv_x, gscal_ref[0, P_XLO], gscal_ref[0, P_XHI])
-    t0y, t1y = _slab_inv(oy, dy, inv_y, gscal_ref[0, P_YLO], gscal_ref[0, P_YHI])
-    t0z, t1z = _slab_inv(oz, dz, inv_z, gscal_ref[0, P_ZLO], gscal_ref[0, P_ZHI])
-    t_start = jnp.maximum(jnp.maximum(t0x, t0y), jnp.maximum(t0z, tmin))
-    t_end_n = jnp.minimum(jnp.minimum(t1x, t1y), t1z)
-    march0 = need & (t_start <= t_end_n) & (t_start < t_b)
+    if cut("init"):
+        march0 = need & (t_b < -1.0)  # never true; skip clip/DDA-init
+    else:
+        t0x, t1x = _slab_inv(ox, dx, inv_x, gscal_ref[0, P_XLO], gscal_ref[0, P_XHI])
+        t0y, t1y = _slab_inv(oy, dy, inv_y, gscal_ref[0, P_YLO], gscal_ref[0, P_YHI])
+        t0z, t1z = _slab_inv(oz, dz, inv_z, gscal_ref[0, P_ZLO], gscal_ref[0, P_ZHI])
+        t_start = jnp.maximum(jnp.maximum(t0x, t0y), jnp.maximum(t0z, tmin))
+        t_end_n = jnp.minimum(jnp.minimum(t1x, t1y), t1z)
+        march0 = need & (t_start <= t_end_n) & (t_start < t_b)
 
-    px0 = ox + t_start * dx
-    pz0 = oz + t_start * dz
-    icx_n = jnp.clip(jnp.floor((px0 - fminx) * inv_s), 0.0, fmaxx)
-    icz_n = jnp.clip(jnp.floor((pz0 - fminz) * inv_s), 0.0, fmaxz)
-    bx = fminx + (icx_n + jnp.where(dx >= 0, 1.0, 0.0)) * cs
-    bz = fminz + (icz_n + jnp.where(dz >= 0, 1.0, 0.0)) * cs
-    t_nx_n = jnp.where(dx == 0.0, BIG, (bx - ox) * inv_x)
-    t_nz_n = jnp.where(dz == 0.0, BIG, (bz - oz) * inv_z)
+        px0 = ox + t_start * dx
+        pz0 = oz + t_start * dz
+        icx_n = jnp.clip(jnp.floor((px0 - fminx) * inv_s), 0.0, fmaxx)
+        icz_n = jnp.clip(jnp.floor((pz0 - fminz) * inv_s), 0.0, fmaxz)
+        bx = fminx + (icx_n + jnp.where(dx >= 0, 1.0, 0.0)) * cs
+        bz = fminz + (icz_n + jnp.where(dz >= 0, 1.0, 0.0)) * cs
+        t_nx_n = jnp.where(dx == 0.0, BIG, (bx - ox) * inv_x)
+        t_nz_n = jnp.where(dz == 0.0, BIG, (bz - oz) * inv_z)
 
-    t_end = jnp.where(need, t_end_n, t_end)
-    t_nx = jnp.where(march0, t_nx_n, t_nx)
-    t_nz = jnp.where(march0, t_nz_n, t_nz)
-    cell_n = (icx_n.astype(jnp.int32) << 12) | icz_n.astype(jnp.int32)
-    cell = jnp.where(march0, cell_n, cell)
+        t_end = jnp.where(need, t_end_n, t_end)
+        t_nx = jnp.where(march0, t_nx_n, t_nx)
+        t_nz = jnp.where(march0, t_nz_n, t_nz)
+        cell_n = (icx_n.astype(jnp.int32) << 12) | icz_n.astype(jnp.int32)
+        cell = jnp.where(march0, cell_n, cell)
     marching = marching | march0
 
     # ---- fine-DDA march: one cell per iteration ----------------------------
@@ -181,14 +204,20 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
     nscz_i = nscz.astype(jnp.int32)
     page = (icx >> 3) * nscz_i + (icz >> 3)
     fc = ((icx & 7) << 3) | (icz & 7)
-    vals = _page_fetch(geom_ref, page, fc, marching,
-                       n_rows=4 * n_slots, poison_rows=(2, 4))
+    if cut("fetch"):
+        vals = jax.lax.broadcast_in_dim(ox, (4 * n_slots, ox.shape[1]), (0, 1))
+    else:
+        vals = _page_fetch(geom_ref, page, fc, marching,
+                           n_rows=4 * n_slots, poison_rows=(2, 4))
     for s in range(n_slots):
-        tc = _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a,
-                        vals[4 * s : 4 * s + 1, :], cy_u,
-                        vals[4 * s + 1 : 4 * s + 2, :],
-                        vals[4 * s + 2 : 4 * s + 3, :],
-                        tmin=tmin, tmax=tmax, skip_tmax=skip_tmax)
+        if cut("quad"):
+            tc = vals[4 * s : 4 * s + 1, :] + oy
+        else:
+            tc = _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a,
+                            vals[4 * s : 4 * s + 1, :], cy_u,
+                            vals[4 * s + 1 : 4 * s + 2, :],
+                            vals[4 * s + 2 : 4 * s + 3, :],
+                            tmin=tmin, tmax=tmax, skip_tmax=skip_tmax)
         upd = marching & (tc < t_b)
         t_b = jnp.where(upd, tc, t_b)
         bkey = jnp.where(
@@ -203,12 +232,24 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
     cross_x = t_nx <= t_nz
     adv_x = cont & cross_x
     adv_z = cont & ~cross_x
-    icx = jnp.where(adv_x, jnp.clip(icx + step_x, 0, fmaxx.astype(jnp.int32)), icx)
-    icz = jnp.where(adv_z, jnp.clip(icz + step_z, 0, fmaxz.astype(jnp.int32)), icz)
-    t_nx = jnp.where(adv_x, t_nx + dt_x, t_nx)
-    t_nz = jnp.where(adv_z, t_nz + dt_z, t_nz)
-    cell = (icx << 12) | icz
-    marching = cont
+    icx_a = jnp.where(adv_x, jnp.clip(icx + step_x, 0, fmaxx.astype(jnp.int32)), icx)
+    icz_a = jnp.where(adv_z, jnp.clip(icz + step_z, 0, fmaxz.astype(jnp.int32)), icz)
+    t_nx_a = jnp.where(adv_x, t_nx + dt_x, t_nx)
+    t_nz_a = jnp.where(adv_z, t_nz + dt_z, t_nz)
+    if freeze:
+        # consume the advance results but pin the march state: cells, page
+        # spreads and lane roles stay constant, so every cut variant runs
+        # an identical, realistic instruction stream forever
+        icx = jnp.where(never, icx_a, icx)
+        icz = jnp.where(never, icz_a, icz)
+        t_nx = jnp.where(never, t_nx_a, t_nx)
+        t_nz = jnp.where(never, t_nz_a, t_nz)
+        cell = (icx << 12) | icz
+        marching = marching | (never & cont)
+    else:
+        icx, icz, t_nx, t_nz = icx_a, icz_a, t_nx_a, t_nz_a
+        cell = (icx << 12) | icz
+        marching = cont
 
     seg_done = alive & ~marching
     hit = t_b < BIG
@@ -219,8 +260,17 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
     page_w = bkey_i // (ab * 128)
     lid = bkey_i % (ab * 128)
     want = seg_done & hit & ~is_direct
-    at = _page_fetch(attrs_ref, page_w, lid & 127, want,
-                     n_rows=5 * ab, poison_rows=None)
+    if freeze:
+        # nothing ever terminates under freeze, so the real `want` mask is
+        # empty and the attrs fetch loop would run ZERO trips; probe it at
+        # the march's own (realistic, frozen) page assignment instead —
+        # independent of upstream cut variants, so trips match across them
+        page_w, lid, want = page, fc, marching
+    if cut("resolve"):
+        at = jax.lax.broadcast_in_dim(bkey, (5 * ab, bkey.shape[1]), (0, 1))
+    else:
+        at = _page_fetch(attrs_ref, page_w, lid & 127, want,
+                         n_rows=5 * ab, poison_rows=None)
     if ab > 1:
         hi = lid >> 7
         mat = at[0:1, :]
@@ -242,10 +292,11 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
     bidx_f = jnp.where(is_direct, bkey - _TAG, np.float32(-1.0))
     gsel = [jnp.full_like(t_b, gtab_ref[0, c]) for c in
             (0, 1, 2, 5, 6, 7, 8, 9, 10, 11, 12, 13)]
-    for k in range(1, gtab_ref.shape[0]):
-        sel = bidx_f == gtab_ref[k, 4]
-        for i, c in enumerate((0, 1, 2, 5, 6, 7, 8, 9, 10, 11, 12, 13)):
-            gsel[i] = jnp.where(sel, gtab_ref[k, c], gsel[i])
+    if not cut("gsel"):
+        for k in range(1, gtab_ref.shape[0]):
+            sel = bidx_f == gtab_ref[k, 4]
+            for i, c in enumerate((0, 1, 2, 5, 6, 7, 8, 9, 10, 11, 12, 13)):
+                gsel[i] = jnp.where(sel, gtab_ref[k, c], gsel[i])
     (gcx, gcy, gcz, gmat, gtex, gc0x, gc0y, gc0z,
      gc1x, gc1y, gc1z, gattr) = gsel
     cenx = jnp.where(is_direct, gcx, wcx)
@@ -262,10 +313,16 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
     fuzz = jnp.where(is_direct, gattr, fuzz)
 
     # ---- shading (shared rows implementation) ------------------------------
-    (px_, py_, pz_, ax, ay, az, sdx, sdy, sdz, does_scatter,
-     seed_h) = shade_rows(ox, oy, oz, dx, dy, dz, t_b, seed,
-                          cenx, ceny, cenz, mat, tex, c0x, c0y, c0z,
-                          c1x, c1y, c1z, fuzz)
+    if cut("shade"):
+        (px_, py_, pz_, ax, ay, az, sdx, sdy, sdz) = (
+            ox, oy, oz, dx, dy, dz, dx, dy, dz)
+        does_scatter = t_b < BIG
+        seed_h = seed
+    else:
+        (px_, py_, pz_, ax, ay, az, sdx, sdy, sdz, does_scatter,
+         seed_h) = shade_rows(ox, oy, oz, dx, dy, dz, t_b, seed,
+                              cenx, ceny, cenz, mat, tex, c0x, c0y, c0z,
+                              c1x, c1y, c1z, fuzz)
 
     # ---- termination & accumulation ----------------------------------------
     scatters = hit & does_scatter
@@ -310,16 +367,24 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
     # scratch row was MEASURED 25% SLOWER at 1000 spp (8.27 -> 10.39
     # ns/sample) — the branch + VMEM scratch round-trip costs more than the
     # 2x16 hash rounds it saves.  Do not re-attempt.
-    fresh = rngops.tea_hash(
-        rngops.tea_hash(px2.astype(jnp.uint32),
-                        (seed_y0 + py2).astype(jnp.uint32)),
-        number,
-    )
+    if cut("tea"):
+        fresh = seed
+    else:
+        fresh = rngops.tea_hash(
+            rngops.tea_hash(px2.astype(jnp.uint32),
+                            (seed_y0 + py2).astype(jnp.uint32)),
+            number,
+        )
     regen = more | adv
     seed_c = jnp.where(adv, fresh, seed_a)
     fxn = jnp.where(adv, fx2, fx)
     fyn = jnp.where(adv, fy2, fy)
-    seed_r, (cox, coy, coz), (cdx, cdy, cdz) = _camera_rays_rows(seed_c, fxn, fyn, vpr_ref)
+    if cut("camera"):
+        seed_r, (cox, coy, coz), (cdx, cdy, cdz) = (
+            seed_c, (ox, oy, oz), (dx, dy, dz))
+    else:
+        seed_r, (cox, coy, coz), (cdx, cdy, cdz) = _camera_rays_rows(
+            seed_c, fxn, fyn, vpr_ref)
 
     bx_, by_, bz_ = _norm3(sdx, sdy, sdz)
 
@@ -359,7 +424,7 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
 def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, attrs_ref,
             fin_ref, uin_ref, fout_ref, uout_ref, acc_ref, *, m_slots,
             n_lanes, p_total, width, max_depth, tmin, tmax, k_steps,
-            n_slots, ab, skip_tmax):
+            n_slots, ab, skip_tmax, ablate):
     st = (
         *_vec3(fin_ref, R_O),
         *_vec3(fin_ref, R_D),
@@ -391,6 +456,7 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, attrs_ref,
         attrs_ref=attrs_ref, m_slots=m_slots, n_lanes=n_lanes,
         p_total=p_total, width=width, max_depth=max_depth, tmin=tmin,
         tmax=tmax, skip_tmax=skip_tmax, n_slots=n_slots, ab=ab,
+        ablate=ablate,
     )
 
     def body(_, st):
@@ -425,13 +491,13 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, attrs_ref,
     jax.jit,
     static_argnames=(
         "m_slots", "n_lanes", "p_total", "width", "max_depth", "k_steps",
-        "skip_tmax", "interpret",
+        "skip_tmax", "ablate", "interpret",
     ),
 )
 def paged_megakernel_step(scal, vpr, gscal, gtab, geom, attrs, fstate,
                           ustate, *, m_slots, n_lanes, p_total, width,
                           max_depth, k_steps=K_STEPS, skip_tmax=False,
-                          interpret=False):
+                          ablate=(), interpret=False):
     """``k_steps`` paged-grid wavefront iterations over all lanes."""
     n_pad = fstate.shape[1]
     rf = f_rows(m_slots)
@@ -443,6 +509,7 @@ def paged_megakernel_step(scal, vpr, gscal, gtab, geom, attrs, fstate,
         width=width, max_depth=max_depth, tmin=np.float32(config.T_MIN),
         tmax=np.float32(config.MAX_RAY_COLLISION_DISTANCE), k_steps=k_steps,
         n_slots=n_slots, ab=ab, skip_tmax=skip_tmax,
+        ablate=frozenset(ablate),
     )
     return pl.pallas_call(
         kernel,
