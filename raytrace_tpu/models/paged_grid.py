@@ -108,6 +108,8 @@ def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None
     nsc_x = -(-nfx // F_AXIS)
     nsc_z = -(-nfz // F_AXIS)
     n_pages = nsc_x * nsc_z
+    if nsc_x > 64 or nsc_z > 64:
+        return None  # kernel bkey packs supercell coords in 6-bit fields
 
     # register spheres into fine cells (delta-enlarged AABB) — vectorized:
     # emit one (cell, sphere) pair per overlapped cell via span offsets

@@ -21,7 +21,9 @@ VMEM, not by gather addressing.
 
 State: f32 rows exactly as gridkernel; u32 rows: 0 seed | 1 m | 2 sidx |
 3 depth | 4 alive | 5 marching | 6 cell (icx<<12 | icz) | 7 lane0.
-bkey: page*(ab*128)+lid for grid hits; 2^24+sphere_id for globals.
+bkey: ((sx<<6)|sz)<<8 | lid for grid hits (supercell coords + page-local
+sphere id — bit fields, so the resolve fetch can rebuild its 2-D page box
+with static shifts); 2^23 + sphere_id for globals.
 """
 
 from __future__ import annotations
@@ -59,13 +61,24 @@ K_STEPS = 10
 _TAG = np.float32(8388608.0)
 
 
-def _page_fetch(tab_ref, page, fc, masked, *, n_rows, poison_rows):
-    """Per-chunk paged fetch: tab_ref [n_pages, n_rows, 128]; page/fc [1, T]
-    i32; masked [1, T] bool (lanes whose fetch matters).  Returns [n_rows, T]
-    with ``poison_rows`` poisoned (and others zeroed) where not fetched."""
-    t = page.shape[1]
+def _page_fetch(tab_ref, sx, sz, nscz_i, fc, masked, *, n_rows, poison_rows):
+    """Per-chunk paged fetch: tab_ref [n_pages, n_rows, 128]; sx/sz [1, T]
+    i32 supercell coords (page id = sx*nscz+sz); fc [1, T] within-page fine
+    index; masked [1, T] bool (lanes whose fetch matters).  Returns
+    [n_rows, T] with ``poison_rows`` poisoned (and others zeroed) where not
+    fetched.
+
+    The loop per 128-lane chunk walks the 2-D BOUNDING BOX of the chunk's
+    (sx, sz) coords, not the linear page-id range: x-neighbor pages differ
+    by nscz (~27 on the 100k scene) in id, so one lane crossing an x page
+    boundary used to inflate the linear range — and the loop trip count —
+    by ~nscz wasted iterations (measured per-chunk spread ~29 with the two
+    page loops at 52%/45% serial share, scripts/paged_iterbench.py).  The
+    box of a chunk straddling one x and one z boundary is 2x2 = 4 trips."""
+    t = sx.shape[1]
     nb = t // 128
-    pg = page.reshape(nb, 128)
+    sxb_all = sx.reshape(nb, 128)
+    szb_all = sz.reshape(nb, 128)
     fcb = fc.reshape(nb, 128)
     # i1 vector reshape is not supported by Mosaic (infer-vector-layout
     # "unsupported shape cast" on real TPU); route the mask through i32
@@ -76,24 +89,31 @@ def _page_fetch(tab_ref, page, fc, masked, *, n_rows, poison_rows):
         init = jnp.where((rid % poison_rows[1]) == poison_rows[0],
                          np.float32(3e30), init)
     chunks = []
+    big = jnp.int32(1 << 20)
     for rb in range(nb):
-        q = pg[rb : rb + 1, :]
+        sxb = sxb_all[rb : rb + 1, :]
+        szb = szb_all[rb : rb + 1, :]
         f = fcb[rb : rb + 1, :]
         m = mk[rb : rb + 1, :] != 0
-        q_eff = jnp.where(m, q, jnp.int32(1 << 30))
-        qmin = jnp.min(q_eff)
-        qmax = jnp.max(jnp.where(m, q, jnp.int32(-1)))
+        sx_min = jnp.min(jnp.where(m, sxb, big))
+        sx_max = jnp.max(jnp.where(m, sxb, -big))
+        sz_min = jnp.min(jnp.where(m, szb, big))
+        sz_max = jnp.max(jnp.where(m, szb, -big))
+        nx = jnp.maximum(sx_max - sx_min + 1, 0)
+        nz = jnp.maximum(sz_max - sz_min + 1, 0)
         fb = jax.lax.broadcast_in_dim(f, (n_rows, 128), (0, 1))
 
-        def body(d, acc, q=q, m=m, fb=fb, qmin=qmin):
-            pid = qmin + d
+        def body(d, acc, sxb=sxb, szb=szb, m=m, fb=fb,
+                 sx_min=sx_min, sz_min=sz_min, nz=nz):
+            px_ = sx_min + d // nz
+            pz_ = sz_min + d % nz
+            pid = px_ * nscz_i + pz_
             pgdata = tab_ref[pid]  # [n_rows, 128]
             g = jnp.take_along_axis(pgdata, fb, axis=1)
-            sel = m & (q == pid)
+            sel = m & (sxb == px_) & (szb == pz_)
             return jnp.where(sel, g, acc)
 
-        n_iter = jnp.maximum(qmax - qmin + 1, 0)
-        acc = jax.lax.fori_loop(0, n_iter, body, init)
+        acc = jax.lax.fori_loop(0, nx * nz, body, init)
         chunks.append(acc)
     return jnp.concatenate(chunks, axis=1)  # [n_rows, T]
 
@@ -202,13 +222,19 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
     icx = cell >> 12
     icz = cell & 4095
     nscz_i = nscz.astype(jnp.int32)
-    page = (icx >> 3) * nscz_i + (icz >> 3)
+    sxm = icx >> 3
+    szm = icz >> 3
     fc = ((icx & 7) << 3) | (icz & 7)
     if cut("fetch"):
         vals = jax.lax.broadcast_in_dim(ox, (4 * n_slots, ox.shape[1]), (0, 1))
     else:
-        vals = _page_fetch(geom_ref, page, fc, marching,
+        vals = _page_fetch(geom_ref, sxm, szm, nscz_i, fc, marching,
                            n_rows=4 * n_slots, poison_rows=(2, 4))
+    # bkey packs the winner as ((sx<<6)|sz)<<8 | lid — supercell coords in
+    # separate bit fields (not the linear page id) so winner resolution can
+    # rebuild the 2-D box for its own page loop with static shifts.  Max
+    # value (63,63,255) ~ 2^20 < _TAG, exact in f32.
+    pkey = (sxm * 64 + szm).astype(jnp.float32) * np.float32(256.0)
     for s in range(n_slots):
         if cut("quad"):
             tc = vals[4 * s : 4 * s + 1, :] + oy
@@ -220,11 +246,7 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
                             tmin=tmin, tmax=tmax, skip_tmax=skip_tmax)
         upd = marching & (tc < t_b)
         t_b = jnp.where(upd, tc, t_b)
-        bkey = jnp.where(
-            upd,
-            page.astype(jnp.float32) * np.float32(ab * 128)
-            + vals[4 * s + 3 : 4 * s + 4, :],
-            bkey)
+        bkey = jnp.where(upd, pkey + vals[4 * s + 3 : 4 * s + 4, :], bkey)
         wcx = jnp.where(upd, vals[4 * s : 4 * s + 1, :], wcx)
         wcz = jnp.where(upd, vals[4 * s + 1 : 4 * s + 2, :], wcz)
     t_exit = jnp.minimum(t_nx, t_nz)
@@ -257,19 +279,20 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
     # ---- winner resolution: paged attrs + gtab selects ----------------------
     is_direct = bkey >= _TAG
     bkey_i = bkey.astype(jnp.int32)
-    page_w = bkey_i // (ab * 128)
-    lid = bkey_i % (ab * 128)
+    sx_w = bkey_i >> 14
+    sz_w = (bkey_i >> 8) & 63
+    lid = bkey_i & 255
     want = seg_done & hit & ~is_direct
     if freeze:
         # nothing ever terminates under freeze, so the real `want` mask is
         # empty and the attrs fetch loop would run ZERO trips; probe it at
         # the march's own (realistic, frozen) page assignment instead —
         # independent of upstream cut variants, so trips match across them
-        page_w, lid, want = page, fc, marching
+        sx_w, sz_w, lid, want = sxm, szm, fc, marching
     if cut("resolve"):
         at = jax.lax.broadcast_in_dim(bkey, (5 * ab, bkey.shape[1]), (0, 1))
     else:
-        at = _page_fetch(attrs_ref, page_w, lid & 127, want,
+        at = _page_fetch(attrs_ref, sx_w, sz_w, nscz_i, lid & 127, want,
                          n_rows=5 * ab, poison_rows=None)
     if ab > 1:
         hi = lid >> 7

@@ -120,15 +120,27 @@ march = np.asarray(u0[pk.U_MARCH]) != 0
 cellh = np.asarray(u0[pk.U_CELL]).astype(np.int64)
 nscz_h = int(np.asarray(gscal)[0, P_NSCZ])
 pageh = ((cellh >> 12) >> 3) * nscz_h + ((cellh & 4095) >> 3)
-spreads = []
+sxh = (cellh >> 12) >> 3
+szh = (cellh & 4095) >> 3
+spreads, boxes = [], []
 for c in range(n_pad // 128):
     sl = slice(c * 128, (c + 1) * 128)
-    pm = pageh[sl][march[sl]]
+    mm = march[sl]
+    pm = pageh[sl][mm]
     spreads.append(int(pm.max() - pm.min() + 1) if pm.size else 0)
-spreads = np.array(spreads)
-print(f"marching {march.sum()}/{n_pad}; per-chunk page spread: "
+    if mm.any():
+        bx = (sxh[sl][mm].max() - sxh[sl][mm].min() + 1)
+        bz = (szh[sl][mm].max() - szh[sl][mm].min() + 1)
+        boxes.append(int(bx * bz))
+    else:
+        boxes.append(0)
+spreads, boxes = np.array(spreads), np.array(boxes)
+print(f"marching {march.sum()}/{n_pad}; per-chunk LINEAR page spread: "
       f"mean {spreads.mean():.1f} p50 {np.percentile(spreads,50):.0f} "
       f"p90 {np.percentile(spreads,90):.0f} max {spreads.max()}", flush=True)
+print(f"per-chunk 2-D BOX trips (the kernel's loop count): "
+      f"mean {boxes.mean():.1f} p50 {np.percentile(boxes,50):.0f} "
+      f"p90 {np.percentile(boxes,90):.0f} max {boxes.max()}", flush=True)
 
 
 @functools.partial(jax.jit, static_argnames=("ablate", "invokes"))
