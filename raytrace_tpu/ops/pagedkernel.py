@@ -55,6 +55,12 @@ U_ROWS = 8  # this kernel's own u32 row count — NOT gridkernel's (whose
 # call-merge/fresh-seed rows 8-11 don't exist here; an aliased output must
 # write every row it declares, so the row counts must match the writes)
 K_STEPS = 10
+# Rebucket sort-key mode (read by the renderer at CALL time and passed as
+# static grid_steps[3] — see CLAUDE.md on module-global sweep hazards):
+# 1 = Morton (sx,sz)-interleave (chunks stay spatially square); 0 = linear
+# page id (A/B reference).  Output bits are invariant to the choice (lane
+# permutation only).
+MORTON = 1
 # 2^23: bkey values >= are direct sphere ids.  Must stay a power of two
 # small enough that TAG + id is EXACT in f32 (ulp(2^23) = 1; 2^24 would
 # round ids 0/1 together) while leaving room for page*(ab*128)+lid below it.

@@ -289,7 +289,13 @@ def render_band_core(
             scene, vp, band_h=band_h, width=width, y0=y0, seed_y0=seed_y0,
             offset_x=offset_x, spp=spp, number=number, accum_init=accum_init,
             max_depth=max_depth, pixels_per_lane=pixels_per_lane,
-            skip_tmax=skip_tmax, return_iters=return_iters)
+            skip_tmax=skip_tmax, return_iters=return_iters,
+            # the rebucket interval rides grid_steps[1] and the sort-key
+            # mode grid_steps[3] (STATIC args — an env/module knob read at
+            # trace time would not key the jit cache and in-process sweeps
+            # would silently reuse the first program; see CLAUDE.md)
+            k_steps=None if grid_steps is None else grid_steps[1],
+            morton=True if grid_steps is None else bool(grid_steps[3]))
 
     p_total = band_h * width
     m_slots = max(1, min(pixels_per_lane, p_total))
@@ -559,7 +565,7 @@ from .megakernel import (S_NUMBER as mega_S_NUMBER, S_OFFX as mega_S_OFFX,
 
 def _render_band_paged(scene, vp, *, band_h, width, y0, seed_y0, offset_x,
                        spp, number, accum_init, max_depth, pixels_per_lane,
-                       skip_tmax, return_iters):
+                       skip_tmax, return_iters, k_steps=None, morton=True):
     """Paged-grid driver (ops/pagedkernel.py) with lane re-bucketing.
 
     Identical wavefront semantics to the grid/mega drivers, plus: between
@@ -631,8 +637,28 @@ def _render_band_paged(scene, vp, *, band_h, width, y0, seed_y0, offset_x,
     ).reshape(1, 24)
 
     gs = jnp.asarray(g.gscal)
-    n_pages = g.geom.shape[0]
     interpret = jax.default_backend() != "tpu"
+
+    def _morton(sx, sz):
+        """Interleave two 6-bit supercell coords (builder gates nsc <= 64).
+
+        The sort key must keep a sorted 128-lane chunk spatially COMPACT:
+        sorting by linear page id (sx*nscz+sz) makes a chunk that straddles
+        an x boundary span the full z range — a (2 x nscz) fetch box.
+        Morton order bounds a contiguous run to a ~square cluster, so the
+        kernel's 2-D box loop (pagedkernel._page_fetch) stays ~2x2.
+
+        ``morton=False`` (grid_steps[3]=0) keeps the linear key for A/B."""
+        if not morton:
+            return sx * gs[0, P_NSCZ].astype(jnp.int32) + sz
+
+        def part(v):
+            v = (v | (v << 8)) & 0x00F00F
+            v = (v | (v << 4)) & 0x0C30C3
+            v = (v | (v << 2)) & 0x249249
+            return v
+
+        return part(sx) | (part(sz) << 1)
 
     def _pred_page(f, u):
         """Sort key: marching lanes use their cell page; fresh lanes use the
@@ -642,8 +668,7 @@ def _render_band_paged(scene, vp, *, band_h, width, y0, seed_y0, offset_x,
         alive = u[pk.U_ALIVE] != 0
         marching = u[pk.U_MARCH] != 0
         cell = u[pk.U_CELL].astype(jnp.int32)
-        nscz = gs[0, P_NSCZ].astype(jnp.int32)
-        page_m = ((cell >> 12) >> 3) * nscz + ((cell & 4095) >> 3)
+        page_m = _morton((cell >> 12) >> 3, (cell & 4095) >> 3)
 
         def axis_clip(o_c, d_c, lo, hi):
             inv = 1.0 / d_c
@@ -669,10 +694,10 @@ def _render_band_paged(scene, vp, *, band_h, width, y0, seed_y0, offset_x,
                        0.0, gs[0, 10]).astype(jnp.int32)
         icz = jnp.clip(jnp.floor((pzw - gs[0, P_FMINZ]) * gs[0, P_INVS]),
                        0.0, gs[0, 11]).astype(jnp.int32)
-        page_p = (icx >> 3) * nscz + (icz >> 3)
-        page_p = jnp.where(t_start <= t_end, page_p, n_pages)
+        page_p = _morton(icx >> 3, icz >> 3)
+        page_p = jnp.where(t_start <= t_end, page_p, jnp.int32(4096))
         key = jnp.where(marching, page_m, page_p)
-        return jnp.where(alive, key, n_pages + 1)
+        return jnp.where(alive, key, jnp.int32(4097))
 
     def rebucket(f, u):
         perm = jnp.argsort(_pred_page(f, u), stable=True)
@@ -681,6 +706,8 @@ def _render_band_paged(scene, vp, *, band_h, width, y0, seed_y0, offset_x,
     def cond(st):
         return jnp.any(st[1][pk.U_ALIVE] != 0)
 
+    k = pk.K_STEPS if k_steps is None else k_steps
+
     def body(st):
         f, u, it = st
         f, u = rebucket(f, u)
@@ -688,9 +715,10 @@ def _render_band_paged(scene, vp, *, band_h, width, y0, seed_y0, offset_x,
             scal, vpr, gs, jnp.asarray(g.gtab), jnp.asarray(g.geom),
             jnp.asarray(g.attrs), f, u,
             m_slots=m_slots, n_lanes=n, p_total=p_total, width=width,
-            max_depth=max_depth, skip_tmax=skip_tmax, interpret=interpret,
+            max_depth=max_depth, skip_tmax=skip_tmax, k_steps=k,
+            interpret=interpret,
         )
-        return (f2, u2, it + pk.K_STEPS)
+        return (f2, u2, it + k)
 
     fstate, ustate, iters = jax.lax.while_loop(
         cond, body, (fstate, ustate, jnp.int32(0))

@@ -160,6 +160,14 @@ class Renderer:
             # read at trace time would make in-process (j, k) sweeps reuse
             # the first compiled program (same jit cache key)
             grid_steps = (_gk.J_STEPS, _gk.K_STEPS, _gk.UNROLL, _gk.FUSE)
+        elif self.backend == "paged":
+            from ..ops import pagedkernel as _pk
+
+            # slots [1] (rebucket interval) and [3] (Morton vs linear sort
+            # key) are the paged driver's knobs; read at call time for the
+            # same sweep-safety reason as the grid knobs above
+            ablate = ()
+            grid_steps = (1, _pk.K_STEPS, 0, _pk.MORTON)
         else:
             ablate = ()
             grid_steps = None
