@@ -35,22 +35,32 @@ import numpy as np
 from .grid import DELTA, MAX_GLOBALS, POISON
 
 PAGE_LANES = 128
-F_AXIS = 8  # fine cells per supercell axis (page = 8x8 fine cells)
+F_AXIS = 8  # fine cells per ATTR-page axis (attr page = 8x8 fine cells)
+# GEOM pages are 8x16 fine cells: the kernel's lane gather is 128 columns
+# wide regardless, so an 8x8 page wastes half the width.  Doubling the
+# z extent fills all 128 columns, HALVES the geom page count (and VMEM),
+# and halves z-page-boundary crossings — fewer trips for the march
+# fetch's 2-D box loop.  Attr pages stay 8x8 because bkey packs the
+# winner's page-local sphere id in 8 bits (lid < ab*128, ab <= 2): a
+# 2x page would double local sphere lists and overflow the field.
+F_AXIS_ZG = 16  # geom-page fine cells along z
 
 
 class PagedGridTables(NamedTuple):
     """Device tables (pure array pytree; layout statics derive from shapes).
 
-    geom:  [n_pages, 4*n_slots, 128] — within a page, row (k*4 + v) is
-           value v of slot k, v in (cx, cz, kc, lid); columns are the page's
-           64 fine cells (of 128 lanes; rest poisoned).  3-D so the kernel
-           derives (n_pages, n_slots) from the shape (statics can't ride in
-           a pytree) and slices pages with a scalar leading index.
-    attrs: [n_pages, 5*ab, 128] — row (v*ab + b) is attr v (mat, c0.rgb,
-           attr) of the page's local spheres b*128..; lid < ab*128.
+    geom:  [n_gpages, 4*n_slots, 128] — GEOM pages are 8x16 fine cells;
+           within a page, row (k*4 + v) is value v of slot k, v in
+           (cx, cz, kc, lid); columns are the page's 128 fine cells
+           ((ix%8)*16 + iz%16).  3-D so the kernel derives
+           (n_gpages, n_slots) from the shape (statics can't ride in a
+           pytree) and slices pages with a scalar leading index.
+    attrs: [n_pages, 5*ab, 128] — ATTR pages are 8x8 fine cells; row
+           (v*ab + b) is attr v (mat, c0.rgb, attr) of the page's local
+           spheres b*128..; lid < ab*128 (8-bit bkey field).
     gtab:  [Gp, 16] global spheres (grid.py layout).
     gscal: [1, 16] f32: xlo,xhi,ylo,yhi,zlo,zhi, fminx,fminz, nscz, cy,
-           fmaxx,fmaxz, inv_s, s, n_slots_f, ab_f
+           fmaxx,fmaxz, inv_s, s, nscz_geom
     """
 
     geom: np.ndarray
@@ -63,6 +73,7 @@ class PagedGridTables(NamedTuple):
 P_XLO, P_XHI, P_YLO, P_YHI, P_ZLO, P_ZHI = 0, 1, 2, 3, 4, 5
 P_FMINX, P_FMINZ, P_NSCZ, P_CY, P_FMAXX, P_FMAXZ = 6, 7, 8, 9, 10, 11
 P_INVS, P_S = 12, 13
+P_NSCZM = 14  # geom (8x16 macro) page count along z
 
 
 def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None,
@@ -110,6 +121,12 @@ def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None
     n_pages = nsc_x * nsc_z
     if nsc_x > 64 or nsc_z > 64:
         return None  # kernel bkey packs supercell coords in 6-bit fields
+    # geom-page z extent: 16 normally; degrade to 8 when that would not
+    # reduce the page count (tiny nfz) so the kernel's shape-ratio
+    # inference (geom pages < attr pages <=> 8x16) stays consistent
+    zg = F_AXIS_ZG if -(-nfz // F_AXIS_ZG) < nsc_z else F_AXIS
+    nsc_zm = -(-nfz // zg)
+    n_gpages = nsc_x * nsc_zm
 
     # register spheres into fine cells (delta-enlarged AABB) — vectorized:
     # emit one (cell, sphere) pair per overlapped cell via span offsets
@@ -144,8 +161,7 @@ def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None
     n_slots = int(rank.max()) + 1 if len(rank) else 1
     if n_slots > max_slots:
         return None
-    page = (ixs // F_AXIS) * nsc_z + (izs // F_AXIS)
-    fc = (ixs % F_AXIS) * F_AXIS + (izs % F_AXIS)
+    page = (ixs // F_AXIS) * nsc_z + (izs // F_AXIS)  # attr (8x8) page
 
     # page-local sphere ids: unique (page, sphere) ranked within page
     ps = np.unique(page * (len(s_idx) + 1) + sis)
@@ -159,7 +175,7 @@ def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None
     if ab > max_ab:
         return None
     r0 = 4 * n_slots
-    if n_pages * (r0 + 5 * ab) * PAGE_LANES * 4 > 72 * 2**20:
+    if (n_gpages * r0 + n_pages * 5 * ab) * PAGE_LANES * 4 > 72 * 2**20:
         return None  # VMEM budget
 
     # lid lookup for each (page, sphere) registration pair
@@ -167,16 +183,18 @@ def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None
     lids = np.array([lid_map[p * (len(s_idx) + 1) + si]
                      for p, si in zip(page.tolist(), sis.tolist())], np.int64)
 
-    geom = np.zeros((n_pages * r0, PAGE_LANES), np.float32)
+    geom = np.zeros((n_gpages * r0, PAGE_LANES), np.float32)
     geom[2::4, :] = POISON  # kc rows default to miss
     a0 = 5 * ab
     attrs = np.zeros((n_pages * a0, PAGE_LANES), np.float32)
 
-    base = page * r0 + rank * 4
-    geom[base + 0, fc] = cx[sis]
-    geom[base + 1, fc] = cz[sis]
-    geom[base + 2, fc] = kc[s_idx[sis]]
-    geom[base + 3, fc] = lids.astype(np.float32)
+    gpage = (ixs // F_AXIS) * nsc_zm + (izs // zg)
+    gfc = (ixs % F_AXIS) * zg + (izs % zg)
+    base = gpage * r0 + rank * 4
+    geom[base + 0, gfc] = cx[sis]
+    geom[base + 1, gfc] = cz[sis]
+    geom[base + 2, gfc] = kc[s_idx[sis]]
+    geom[base + 3, gfc] = lids.astype(np.float32)
 
     sph = s_idx[s_of]
     b_, c_ = np.divmod(lid_of, PAGE_LANES)
@@ -217,8 +235,9 @@ def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None
     gscal[0, P_FMAXZ] = np.float32(nfz - 1)
     gscal[0, P_INVS] = np.float32(1.0) / s
     gscal[0, P_S] = s
+    gscal[0, P_NSCZM] = np.float32(nsc_zm)
 
     return PagedGridTables(
-        geom=geom.reshape(n_pages, r0, PAGE_LANES),
+        geom=geom.reshape(n_gpages, r0, PAGE_LANES),
         attrs=attrs.reshape(n_pages, a0, PAGE_LANES),
         gtab=gtab, gscal=gscal)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from raytrace_tpu.models.scene import random_sphere_field
-from raytrace_tpu.models.paged_grid import P_NSCZ
+from raytrace_tpu.models.paged_grid import P_NSCZ, P_NSCZM
 from raytrace_tpu.ops import pagedkernel as pk
 from raytrace_tpu.ops import rng as rngops
 from raytrace_tpu.ops.megakernel import S_NUMBER, S_SEEDY0, S_SPP
@@ -118,10 +118,10 @@ f0 = jnp.asarray(np.asarray(f))
 u0 = jnp.asarray(np.asarray(u))
 march = np.asarray(u0[pk.U_MARCH]) != 0
 cellh = np.asarray(u0[pk.U_CELL]).astype(np.int64)
-nscz_h = int(np.asarray(gscal)[0, P_NSCZ])
-pageh = ((cellh >> 12) >> 3) * nscz_h + ((cellh & 4095) >> 3)
+nscz_h = int(np.asarray(gscal)[0, P_NSCZM])
+pageh = ((cellh >> 12) >> 3) * nscz_h + ((cellh & 4095) >> 4)
 sxh = (cellh >> 12) >> 3
-szh = (cellh & 4095) >> 3
+szh = (cellh & 4095) >> 4  # geom (8x16 macro) pages — what the march fetch walks
 spreads, boxes = [], []
 for c in range(n_pad // 128):
     sl = slice(c * 128, (c + 1) * 128)
