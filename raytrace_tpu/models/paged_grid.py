@@ -44,6 +44,10 @@ F_AXIS = 8  # fine cells per ATTR-page axis (attr page = 8x8 fine cells)
 # winner's page-local sphere id in 8 bits (lid < ab*128, ab <= 2): a
 # 2x page would double local sphere lists and overflow the field.
 F_AXIS_ZG = 16  # geom-page fine cells along z
+# Host-side tuning knob on the auto cell size (scripts/paged_cellsweep.py):
+# smaller cells -> fewer slots (cheaper per-trip gathers) but more march
+# steps.  Applied only when the caller doesn't pass cell_size explicitly.
+CELL_SIZE_SCALE = 1.0
 
 
 class PagedGridTables(NamedTuple):
@@ -108,7 +112,7 @@ def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None
         area = float((cx.max() - cx.min() + 1) * (cz.max() - cz.min() + 1))
         density = len(s_idx) / max(area, 1.0)
         reach = 2.0 * float(r.max()) + 2.0 * DELTA
-        cell_size = max(0.25, np.sqrt(8.0 / density) - reach)
+        cell_size = max(0.25, np.sqrt(8.0 / density) - reach) * CELL_SIZE_SCALE
     s = np.float32(cell_size)
 
     # fine lattice: cell i covers [fmin + i*s, fmin + (i+1)*s)

@@ -54,7 +54,9 @@ U_CELL, U_LANE0 = 6, 7
 U_ROWS = 8  # this kernel's own u32 row count — NOT gridkernel's (whose
 # call-merge/fresh-seed rows 8-11 don't exist here; an aliased output must
 # write every row it declares, so the row counts must match the writes)
-K_STEPS = 10
+K_STEPS = 5  # rebucket interval: K=5/10/15 measured 237/242/253 ns/sample
+# on the 100k scene post-8x16-pages (scripts/paged_ksweep.py) — tighter
+# sorts keep the per-chunk page boxes small now that trips are the cost
 # Rebucket sort-key mode (read by the renderer at CALL time and passed as
 # static grid_steps[3] — see CLAUDE.md on module-global sweep hazards):
 # 1 = Morton (sx,sz)-interleave (chunks stay spatially square); 0 = linear
