@@ -35,15 +35,15 @@ import numpy as np
 from .grid import DELTA, MAX_GLOBALS, POISON
 
 PAGE_LANES = 128
-F_AXIS = 8  # fine cells per ATTR-page axis (attr page = 8x8 fine cells)
-# GEOM pages are 8x16 fine cells: the kernel's lane gather is 128 columns
-# wide regardless, so an 8x8 page wastes half the width.  Doubling the
-# z extent fills all 128 columns, HALVES the geom page count (and VMEM),
-# and halves z-page-boundary crossings — fewer trips for the march
-# fetch's 2-D box loop.  Attr pages stay 8x8 because bkey packs the
-# winner's page-local sphere id in 8 bits (lid < ab*128, ab <= 2): a
-# 2x page would double local sphere lists and overflow the field.
-F_AXIS_ZG = 16  # geom-page fine cells along z
+F_AXIS = 8  # fine cells per page along x
+# Pages are 8x16 fine cells: the kernel's lane gather is 128 columns wide
+# regardless, so an 8x8 page wastes half the width.  The 16-cell z extent
+# fills all 128 columns, HALVES the page count (and VMEM), and halves
+# z-page-boundary crossings — fewer trips for the kernel's 2-D box loops.
+# Both geom AND attrs ride the same macro pages: bkey packs the winner as
+# ((sx<<5)|sz)<<9 | lid with a 9-bit page-local sphere id (lid < ab*128,
+# ab <= 4) — max value 2^20-1, exact in f32 below the 2^23 _TAG.
+F_AXIS_Z = 16  # page fine cells along z
 # Host-side tuning knob on the auto cell size (scripts/paged_cellsweep.py):
 # smaller cells -> fewer slots (cheaper per-trip gathers) but more march
 # steps.  Applied only when the caller doesn't pass cell_size explicitly.
@@ -53,18 +53,19 @@ CELL_SIZE_SCALE = 1.0
 class PagedGridTables(NamedTuple):
     """Device tables (pure array pytree; layout statics derive from shapes).
 
-    geom:  [n_gpages, 4*n_slots, 128] — GEOM pages are 8x16 fine cells;
-           within a page, row (k*4 + v) is value v of slot k, v in
+    geom:  [n_pages, 4*n_slots, 128] — pages are 8x16 fine cells; within a
+           page, row (k*4 + v) is value v of slot k, v in
            (cx, cz, kc, lid); columns are the page's 128 fine cells
            ((ix%8)*16 + iz%16).  3-D so the kernel derives
-           (n_gpages, n_slots) from the shape (statics can't ride in a
+           (n_pages, n_slots) from the shape (statics can't ride in a
            pytree) and slices pages with a scalar leading index.
-    attrs: [n_pages, 5*ab, 128] — ATTR pages are 8x8 fine cells; row
-           (v*ab + b) is attr v (mat, c0.rgb, attr) of the page's local
-           spheres b*128..; lid < ab*128 (8-bit bkey field).
+    attrs: [n_pages, 5*ab, 128] — same 8x16 pages; row (v*ab + b) is attr
+           v (mat, c0.rgb, attr) of the page's local spheres b*128..;
+           lid < ab*128 <= 512 (9-bit bkey field).
     gtab:  [Gp, 16] global spheres (grid.py layout).
-    gscal: [1, 16] f32: xlo,xhi,ylo,yhi,zlo,zhi, fminx,fminz, nscz, cy,
-           fmaxx,fmaxz, inv_s, s, nscz_geom
+    gscal: [1, 16] f32: xlo,xhi,ylo,yhi,zlo,zhi, fminx,fminz, nscz8, cy,
+           fmaxx,fmaxz, inv_s, s, nscz (nscz8 = legacy 8x8 z page count,
+           kept for the driver's linear-sort-key A/B)
     """
 
     geom: np.ndarray
@@ -81,7 +82,7 @@ P_NSCZM = 14  # geom (8x16 macro) page count along z
 
 
 def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None,
-                     max_slots: int = 32, max_ab: int = 2):
+                     max_slots: int = 32, max_ab: int = 4):
     """Build paged tables or return None when the scene doesn't fit
     (crowded fine cells / oversized page sphere lists / non-uniform field).
     """
@@ -121,16 +122,11 @@ def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None
     nfx = int(np.ceil(((cx + r + DELTA).max() - fmin_x) / s)) + 1
     nfz = int(np.ceil(((cz + r + DELTA).max() - fmin_z) / s)) + 1
     nsc_x = -(-nfx // F_AXIS)
-    nsc_z = -(-nfz // F_AXIS)
+    nsc_z8 = -(-nfz // F_AXIS)  # legacy 8x8 z count (driver A/B key only)
+    nsc_z = -(-nfz // F_AXIS_Z)
     n_pages = nsc_x * nsc_z
-    if nsc_x > 64 or nsc_z > 64:
-        return None  # kernel bkey packs supercell coords in 6-bit fields
-    # geom-page z extent: 16 normally; degrade to 8 when that would not
-    # reduce the page count (tiny nfz) so the kernel's shape-ratio
-    # inference (geom pages < attr pages <=> 8x16) stays consistent
-    zg = F_AXIS_ZG if -(-nfz // F_AXIS_ZG) < nsc_z else F_AXIS
-    nsc_zm = -(-nfz // zg)
-    n_gpages = nsc_x * nsc_zm
+    if nsc_x > 64 or nsc_z > 32:
+        return None  # kernel bkey packs page coords in 6+5 bit fields
 
     # register spheres into fine cells (delta-enlarged AABB) — vectorized:
     # emit one (cell, sphere) pair per overlapped cell via span offsets
@@ -165,7 +161,7 @@ def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None
     n_slots = int(rank.max()) + 1 if len(rank) else 1
     if n_slots > max_slots:
         return None
-    page = (ixs // F_AXIS) * nsc_z + (izs // F_AXIS)  # attr (8x8) page
+    page = (ixs // F_AXIS) * nsc_z + (izs // F_AXIS_Z)  # 8x16 page
 
     # page-local sphere ids: unique (page, sphere) ranked within page
     ps = np.unique(page * (len(s_idx) + 1) + sis)
@@ -179,7 +175,7 @@ def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None
     if ab > max_ab:
         return None
     r0 = 4 * n_slots
-    if (n_gpages * r0 + n_pages * 5 * ab) * PAGE_LANES * 4 > 72 * 2**20:
+    if n_pages * (r0 + 5 * ab) * PAGE_LANES * 4 > 72 * 2**20:
         return None  # VMEM budget
 
     # lid lookup for each (page, sphere) registration pair
@@ -187,18 +183,17 @@ def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None
     lids = np.array([lid_map[p * (len(s_idx) + 1) + si]
                      for p, si in zip(page.tolist(), sis.tolist())], np.int64)
 
-    geom = np.zeros((n_gpages * r0, PAGE_LANES), np.float32)
+    geom = np.zeros((n_pages * r0, PAGE_LANES), np.float32)
     geom[2::4, :] = POISON  # kc rows default to miss
     a0 = 5 * ab
     attrs = np.zeros((n_pages * a0, PAGE_LANES), np.float32)
 
-    gpage = (ixs // F_AXIS) * nsc_zm + (izs // zg)
-    gfc = (ixs % F_AXIS) * zg + (izs % zg)
-    base = gpage * r0 + rank * 4
-    geom[base + 0, gfc] = cx[sis]
-    geom[base + 1, gfc] = cz[sis]
-    geom[base + 2, gfc] = kc[s_idx[sis]]
-    geom[base + 3, gfc] = lids.astype(np.float32)
+    fc = (ixs % F_AXIS) * F_AXIS_Z + (izs % F_AXIS_Z)
+    base = page * r0 + rank * 4
+    geom[base + 0, fc] = cx[sis]
+    geom[base + 1, fc] = cz[sis]
+    geom[base + 2, fc] = kc[s_idx[sis]]
+    geom[base + 3, fc] = lids.astype(np.float32)
 
     sph = s_idx[s_of]
     b_, c_ = np.divmod(lid_of, PAGE_LANES)
@@ -233,15 +228,15 @@ def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None
     gscal[0, P_ZHI] = np.float32(fmin_z + nfz * s)
     gscal[0, P_FMINX] = fmin_x
     gscal[0, P_FMINZ] = fmin_z
-    gscal[0, P_NSCZ] = np.float32(nsc_z)
+    gscal[0, P_NSCZ] = np.float32(nsc_z8)
     gscal[0, P_CY] = np.float32(cy[0])
     gscal[0, P_FMAXX] = np.float32(nfx - 1)  # max fine index, x
     gscal[0, P_FMAXZ] = np.float32(nfz - 1)
     gscal[0, P_INVS] = np.float32(1.0) / s
     gscal[0, P_S] = s
-    gscal[0, P_NSCZM] = np.float32(nsc_zm)
+    gscal[0, P_NSCZM] = np.float32(nsc_z)
 
     return PagedGridTables(
-        geom=geom.reshape(n_gpages, r0, PAGE_LANES),
+        geom=geom.reshape(n_pages, r0, PAGE_LANES),
         attrs=attrs.reshape(n_pages, a0, PAGE_LANES),
         gtab=gtab, gscal=gscal)

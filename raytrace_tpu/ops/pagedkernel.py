@@ -5,8 +5,9 @@ brute-forced globals -> fine-cell DDA march -> shade/accumulate/regen), but
 candidates come from a PAGED two-level grid (models/paged_grid.py), which
 scales past the flat grid's ~640-cell lane-gather addressing wall:
 
- - the DDA walks fine cells of size ``s``; a cell's page (8x8 supercell) is
-   a *scalar-addressable* block of the geometry table (3-D VMEM ref,
+ - the DDA walks fine cells of size ``s``; a cell's page (8x16-fine-cell
+   supercell — exactly the 128-column lane-gather width) is a
+   *scalar-addressable* block of the geometry table (3-D VMEM ref,
    ``geom_ref[page]``), and the within-page fine index (<128) is a legal
    Mosaic lane-gather;
  - fetches run per 128-lane chunk: reduce the chunk's page ids to
@@ -21,9 +22,11 @@ VMEM, not by gather addressing.
 
 State: f32 rows exactly as gridkernel; u32 rows: 0 seed | 1 m | 2 sidx |
 3 depth | 4 alive | 5 marching | 6 cell (icx<<12 | icz) | 7 lane0.
-bkey: ((sx<<6)|sz)<<8 | lid for grid hits (supercell coords + page-local
+bkey: ((sx<<5)|sz)<<9 | lid for grid hits (page coords + 9-bit page-local
 sphere id — bit fields, so the resolve fetch can rebuild its 2-D page box
-with static shifts); 2^23 + sphere_id for globals.
+with static shifts; max (63,31,511) = 2^20-1, exact in f32);
+2^23 + sphere_id for globals.  Winner attrs ride the SAME macro pages as
+geometry (one page set, so the resolve loop's boxes match the march's).
 """
 
 from __future__ import annotations
@@ -38,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import config
 from ..models.paged_grid import (P_CY, P_FMAXX, P_FMAXZ, P_FMINX,
-                                 P_FMINZ, P_INVS, P_NSCZ, P_NSCZM, P_S,
+                                 P_FMINZ, P_INVS, P_NSCZM, P_S,
                                  P_XHI, P_XLO, P_YHI, P_YLO, P_ZHI, P_ZLO)
 from . import rng as rngops
 from .gridkernel import (R_ACC, R_BKEY, R_CUR, R_D, R_FX, R_FY, R_O, R_TB,
@@ -128,7 +131,7 @@ def _page_fetch(tab_ref, sx, sz, nscz_i, fc, masked, *, n_rows, poison_rows):
 
 def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
              attrs_ref, *, m_slots, n_lanes, p_total, width, max_depth,
-             tmin, tmax, skip_tmax, n_slots, ab, zg, ablate):
+             tmin, tmax, skip_tmax, n_slots, ab, ablate):
     (ox, oy, oz, dx, dy, dz, fx, fy, tx_, ty_, tz_,
      t_b, t_end, t_nx, t_nz, bkey, wcx, wcz, cr_, cg_, cb2_,
      seed, mrow, sidx, depth, alive_i, march_i, cell, lane0) = st
@@ -164,7 +167,6 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
     fminz = gscal_ref[0, P_FMINZ]
     fmaxx = gscal_ref[0, P_FMAXX]
     fmaxz = gscal_ref[0, P_FMAXZ]
-    nscz = gscal_ref[0, P_NSCZ]
     cy_u = gscal_ref[0, P_CY]
     inv_s = gscal_ref[0, P_INVS]
     cs = gscal_ref[0, P_S]
@@ -229,26 +231,23 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
 
     icx = cell >> 12
     icz = cell & 4095
-    nscz_i = nscz.astype(jnp.int32)
-    # geom pages are 8 x zg fine cells; zg=16 fills the full 128-column
-    # lane-gather width, halving the page count and z-boundary crossings
-    # vs the 8x8 attr pages (models/paged_grid.py F_AXIS_ZG).  zg is a
-    # STATIC passed down from the table shapes (paged_megakernel_step).
-    zsh = zg.bit_length() - 1
+    # pages are 8x16 fine cells — the 16-cell z extent fills the full
+    # 128-column lane-gather width, halving page count and z-boundary
+    # crossings vs 8x8 (models/paged_grid.py F_AXIS / F_AXIS_Z)
     nsczm_i = gscal_ref[0, P_NSCZM].astype(jnp.int32)
     sxm = icx >> 3
-    szm = icz >> zsh
-    fc = ((icx & 7) << zsh) | (icz & (zg - 1))
+    szm = icz >> 4
+    fc = ((icx & 7) << 4) | (icz & 15)
     if cut("fetch"):
         vals = jax.lax.broadcast_in_dim(ox, (4 * n_slots, ox.shape[1]), (0, 1))
     else:
         vals = _page_fetch(geom_ref, sxm, szm, nsczm_i, fc, marching,
                            n_rows=4 * n_slots, poison_rows=(2, 4))
-    # bkey packs the winner as ((sx<<6)|sz)<<8 | lid — ATTR-page (8x8)
-    # supercell coords in separate bit fields (not the linear page id) so
-    # winner resolution can rebuild the 2-D box for its own page loop with
-    # static shifts.  Max value (63,63,255) ~ 2^20 < _TAG, exact in f32.
-    pkey = ((icx >> 3) * 64 + (icz >> 3)).astype(jnp.float32) * np.float32(256.0)
+    # bkey packs the winner as ((sx<<5)|sz)<<9 | lid — page coords in
+    # separate bit fields (not the linear page id) so winner resolution
+    # can rebuild the 2-D box for its own page loop with static shifts.
+    # Max value (63,31,511) = 2^20-1 < _TAG, exact in f32.
+    pkey = (sxm * 32 + szm).astype(jnp.float32) * np.float32(512.0)
     for s in range(n_slots):
         if cut("quad"):
             tc = vals[4 * s : 4 * s + 1, :] + oy
@@ -294,19 +293,19 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
     is_direct = bkey >= _TAG
     bkey_i = bkey.astype(jnp.int32)
     sx_w = bkey_i >> 14
-    sz_w = (bkey_i >> 8) & 63
-    lid = bkey_i & 255
+    sz_w = (bkey_i >> 9) & 31
+    lid = bkey_i & 511
     want = seg_done & hit & ~is_direct
     if freeze:
         # nothing ever terminates under freeze, so the real `want` mask is
         # empty and the attrs fetch loop would run ZERO trips; probe it at
         # the march's own (realistic, frozen) page assignment instead —
         # independent of upstream cut variants, so trips match across them
-        sx_w, sz_w, lid, want = icx >> 3, icz >> 3, fc, marching
+        sx_w, sz_w, lid, want = sxm, szm, fc, marching
     if cut("resolve"):
         at = jax.lax.broadcast_in_dim(bkey, (5 * ab, bkey.shape[1]), (0, 1))
     else:
-        at = _page_fetch(attrs_ref, sx_w, sz_w, nscz_i, lid & 127, want,
+        at = _page_fetch(attrs_ref, sx_w, sz_w, nsczm_i, lid & 127, want,
                          n_rows=5 * ab, poison_rows=None)
     if ab > 1:
         hi = lid >> 7
@@ -461,7 +460,7 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
 def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, attrs_ref,
             fin_ref, uin_ref, fout_ref, uout_ref, acc_ref, *, m_slots,
             n_lanes, p_total, width, max_depth, tmin, tmax, k_steps,
-            n_slots, ab, zg, skip_tmax, ablate):
+            n_slots, ab, skip_tmax, ablate):
     st = (
         *_vec3(fin_ref, R_O),
         *_vec3(fin_ref, R_D),
@@ -492,7 +491,7 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, attrs_ref,
         gscal_ref=gscal_ref, gtab_ref=gtab_ref, geom_ref=geom_ref,
         attrs_ref=attrs_ref, m_slots=m_slots, n_lanes=n_lanes,
         p_total=p_total, width=width, max_depth=max_depth, tmin=tmin,
-        tmax=tmax, skip_tmax=skip_tmax, n_slots=n_slots, ab=ab, zg=zg,
+        tmax=tmax, skip_tmax=skip_tmax, n_slots=n_slots, ab=ab,
         ablate=ablate,
     )
 
@@ -541,14 +540,11 @@ def paged_megakernel_step(scal, vpr, gscal, gtab, geom, attrs, fstate,
     grid = n_pad // TILE
     n_slots = geom.shape[1] // 4
     ab = attrs.shape[1] // 5
-    # geom-page z extent, inferred statically from the table shapes (the
-    # builder guarantees geom pages < attr pages iff zg=16)
-    zg = 16 if geom.shape[0] < attrs.shape[0] else 8
     kernel = functools.partial(
         _kernel, m_slots=m_slots, n_lanes=n_lanes, p_total=p_total,
         width=width, max_depth=max_depth, tmin=np.float32(config.T_MIN),
         tmax=np.float32(config.MAX_RAY_COLLISION_DISTANCE), k_steps=k_steps,
-        n_slots=n_slots, ab=ab, zg=zg, skip_tmax=skip_tmax,
+        n_slots=n_slots, ab=ab, skip_tmax=skip_tmax,
         ablate=frozenset(ablate),
     )
     return pl.pallas_call(

@@ -640,19 +640,20 @@ def _render_band_paged(scene, vp, *, band_h, width, y0, seed_y0, offset_x,
     interpret = jax.default_backend() != "tpu"
 
     def _morton(sx, sz):
-        """Interleave two 6-bit ATTR-page (8x8) supercell coords.
+        """Interleave two 6-bit 8x8-supercell coords.
 
         The sort key must keep a sorted 128-lane chunk spatially COMPACT:
         sorting by linear page id (sx*nscz+sz) makes a chunk that straddles
         an x boundary span the full z range — a (2 x nscz) fetch box.
         Morton order bounds a contiguous run to a ~square cluster, so the
         kernel's 2-D box loops (pagedkernel._page_fetch) stay ~2x2.  The
-        sort stays at the FINE (8x8) page granularity: a chunk compact in
-        8x8 coords is automatically compact in the 8x16 geom-page coords
-        the march fetch walks, while a macro-granular sort would let the
-        resolve loop's 8x8 attr boxes widen.
+        sort runs at 8x8 granularity — FINER than the kernel's 8x16 pages
+        (a chunk compact in 8x8 coords is automatically compact in 8x16
+        page coords), kept from the era of 8x8 attr pages because a finer
+        sort never widens a box.
 
-        ``morton=False`` (grid_steps[3]=0) keeps the linear key for A/B."""
+        ``morton=False`` (grid_steps[3]=0) keeps the linear key for A/B
+        (its nscz uses the legacy 8x8 z supercell count, P_NSCZ)."""
         if not morton:
             return sx * gs[0, P_NSCZ].astype(jnp.int32) + sz
 

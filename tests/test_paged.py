@@ -37,11 +37,10 @@ def _render(ds, backend, *, depth=6, spp=2, m=2):
 def test_builder_dense(dense):
     g = dense.paged
     assert g is not None
-    n_gpages, r0, lanes = g.geom.shape
+    n_pages, r0, lanes = g.geom.shape
     assert lanes == 128 and r0 % 4 == 0
-    # geom pages are 8x16 fine cells, attr pages 8x8 — roughly twice as
-    # many attr pages (exactly: ceil(nfz/8) vs ceil(nfz/16) along z)
-    assert n_gpages <= g.attrs.shape[0] <= 2 * n_gpages
+    # geometry and attrs ride the SAME 8x16-fine-cell macro pages
+    assert g.attrs.shape[0] == n_pages
     assert g.attrs.shape[2] == 128
     # flat grid refused this scene (crowded cells), paged took it
     assert dense.grid is None
