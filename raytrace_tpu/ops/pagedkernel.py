@@ -57,9 +57,20 @@ U_CELL, U_LANE0 = 6, 7
 U_ROWS = 8  # this kernel's own u32 row count — NOT gridkernel's (whose
 # call-merge/fresh-seed rows 8-11 don't exist here; an aliased output must
 # write every row it declares, so the row counts must match the writes)
-K_STEPS = 5  # rebucket interval: K=5/10/15 measured 237/242/253 ns/sample
-# on the 100k scene post-8x16-pages (scripts/paged_ksweep.py) — tighter
-# sorts keep the per-chunk page boxes small now that trips are the cost
+K_STEPS = 5  # rebucket interval at the 32k-lane reference point: K=5/10/15
+# measured 237/242/253 ns/sample at 1080p on the 100k scene
+# (scripts/paged_ksweep.py) — tighter sorts keep the per-chunk page boxes
+# small now that trips are the cost
+# The interval SCALES with lane count (K_AUTO): the argsort + two
+# full-state takes between invocations cost ~per-lane (the acc rows are
+# the image), while per-chunk page-box drift per step SHRINKS as ray
+# density rises (more lanes share each page), so high-res renders want
+# rarer sorts: at 2160p (130k lanes) K=5/10/15 measured 253/241/226
+# ns/sample with a flat plateau K=15..40.  scaled_k's n/32768 factor
+# reproduces both optima (K=5 at 1080p, K=20 at 2160p).  Output bits are
+# invariant to K (invocation grouping only; ksweep checks bit-identity).
+# Sweeps set K_AUTO=False to pin exact intervals.
+K_AUTO = True
 # Rebucket sort-key mode (read by the renderer at CALL time and passed as
 # static grid_steps[3] — see CLAUDE.md on module-global sweep hazards):
 # 1 = Morton (sx,sz)-interleave (chunks stay spatially square); 0 = linear
@@ -70,6 +81,13 @@ MORTON = 1
 # small enough that TAG + id is EXACT in f32 (ulp(2^23) = 1; 2^24 would
 # round ids 0/1 together) while leaving room for page*(ab*128)+lid below it.
 _TAG = np.float32(8388608.0)
+
+
+def scaled_k(n_lanes: int) -> int:
+    """Lane-count-scaled rebucket interval (see the K_STEPS/K_AUTO note)."""
+    if not K_AUTO:
+        return K_STEPS
+    return K_STEPS * max(1, round(n_lanes / 32768))
 
 
 def _page_fetch(tab_ref, sx, sz, nscz_i, fc, masked, *, n_rows, poison_rows):

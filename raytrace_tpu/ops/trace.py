@@ -711,7 +711,11 @@ def _render_band_paged(scene, vp, *, band_h, width, y0, seed_y0, offset_x,
     def cond(st):
         return jnp.any(st[1][pk.U_ALIVE] != 0)
 
-    k = pk.K_STEPS if k_steps is None else k_steps
+    # k_steps=None falls back to the module default scaled by lane count
+    # (the Renderer normally passes the interval explicitly, already
+    # scaled — see Renderer.render_frame's K_AUTO logic and the sweep
+    # data cited there)
+    k = pk.scaled_k(n) if k_steps is None else k_steps
 
     def body(st):
         f, u, it = st

@@ -165,9 +165,14 @@ class Renderer:
 
             # slots [1] (rebucket interval) and [3] (Morton vs linear sort
             # key) are the paged driver's knobs; read at call time for the
-            # same sweep-safety reason as the grid knobs above
+            # same sweep-safety reason as the grid knobs above.  The
+            # interval scales with the band's lane count (K_AUTO; sweep
+            # data at pagedkernel.K_STEPS) — bands other than the last
+            # have chunk_rows rows, and the last band's smaller lane
+            # count only over-sizes K, which the plateau tolerates.
             ablate = ()
-            grid_steps = (1, _pk.K_STEPS, 0, _pk.MORTON)
+            band_lanes = -(-min(self.chunk_rows, h) * w // self.pixels_per_lane)
+            grid_steps = (1, _pk.scaled_k(band_lanes), 0, _pk.MORTON)
         else:
             ablate = ()
             grid_steps = None

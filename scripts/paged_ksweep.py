@@ -32,7 +32,9 @@ from raytrace_tpu.config import RenderConfig
 from raytrace_tpu.models.scene import random_sphere_field
 from raytrace_tpu.runtime.renderer import Renderer
 
-W, H, SPP = 1920, 1080, int(os.environ.get("SWEEP_SPP", 8))
+W = int(os.environ.get("AB_W", 1920))
+H = int(os.environ.get("AB_H", 1080))
+SPP = int(os.environ.get("SWEEP_SPP", 8))
 ROUNDS = int(os.environ.get("SWEEP_ROUNDS", 7))
 KS = [int(k) for k in os.environ.get("KS", "5,10,20,40").split(",")]
 MORTONS = [int(m) for m in os.environ.get("MORTONS", "1,0").split(",")]
@@ -42,6 +44,9 @@ scene = random_sphere_field(100_000)
 r = Renderer(RenderConfig(samples=SPP, width=W, height=H, backend="auto"),
              scene=scene)
 assert r.backend == "paged", r.backend
+
+
+pkm.K_AUTO = False  # sweep pins EXACT intervals; no lane-count scaling
 
 
 def _set(k, m):
