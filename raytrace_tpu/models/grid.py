@@ -34,7 +34,11 @@ from typing import NamedTuple, Optional
 import numpy as np
 
 CELL_LANES = 128  # dynamic_gather lane-table width
-N_SLOTS = 4  # candidate spheres per cell
+N_SLOTS = 4  # candidate slots per cell, 4-value (uniform-height) layout
+MAX_N_SLOTS = 8  # adaptive cap for the general 5-value layout: random
+#                  fields crowd past 4 slots/cell almost surely (Poisson
+#                  tail across hundreds of cells), so the general layout
+#                  sizes n_slots to the worst cell, up to this cap
 DELTA = 1e-2  # conservative AABB enlargement (>> DDA fp slop)
 MAX_CELLS = 8 * CELL_LANES  # CB <= 8 keeps the fetch tables small
 MAX_GLOBALS = 8  # genuinely-large spheres (each is a per-segment quadratic
@@ -46,9 +50,14 @@ POISON = np.float32(3e30)  # kc sentinel: disc < 0 -> NaN sqrt -> miss
 class GridTables(NamedTuple):
     """Device tables for the grid megakernel (all f32; see gridkernel.py)."""
 
-    ctab: np.ndarray  # [CB*4*N_SLOTS, 128] cell candidates, BLOCK-MAJOR:
-    #                   row (cb*16 + v),
-    #                   v = slot*4 + {0:cx, 1:cz, 2:kc, 3:global sphere id}.
+    ctab: np.ndarray  # [CB*stride, 128] cell candidates, BLOCK-MAJOR.
+    #                   Uniform-field-height scenes (the book scene) use the
+    #                   4-value layout: row (cb*16 + v),
+    #                   v = slot*4 + {0:cx, 1:cz, 2:kc, 3:global sphere id}
+    #                   with cy a gscal scalar.  General scenes (has_cy set)
+    #                   use the 5-value layout: n_slots = has_cy.shape[1]
+    #                   (adaptive, 4..MAX_N_SLOTS), stride = pad8(5*n_slots),
+    #                   v = slot*5 + {0:cx, 1:cy, 2:cz, 3:kc, 4:sphere id}.
     #                   The id rides the march fetch so winner resolution is
     #                   ONE atab gather instead of two dependent gathers
     #                   (the itab hop sat on the kernel's latency-bound
@@ -71,6 +80,16 @@ class GridTables(NamedTuple):
     #                    cminx,cminz,ncz_f,cy_uniform,cmaxx,cmaxz
     # (cell/attr block counts are derived from ctab/atab shapes — the tuple
     # stays a pure array pytree so it can ride through jit untraced-free)
+    has_cy: Optional[np.ndarray] = None  # non-None marks the 5-value ctab
+    #                   layout (scenes with varying field-sphere heights
+    #                   and/or cells crowded past 4 slots).  An Optional
+    #                   FIELD whose SHAPE carries the slot count: pytree
+    #                   structure and shapes are static under jit, so the
+    #                   kernel reads ``five = has_cy is not None`` and
+    #                   ``n_slots = has_cy.shape[1]`` without a traced value
+    #                   (ctab's own row count is ambiguous — pad8(5*n)*cb
+    #                   collides across (n, cb) pairs).  The zeros it holds
+    #                   are never read.
 
 
 # gscal slot indices
@@ -108,8 +127,12 @@ def build_grid(scene, table: np.ndarray) -> Optional[GridTables]:
     if n >= 4096:  # gridkernel._TAG
         return None
     cy = centers[s_idx, 1]
-    if not np.all(cy == cy[0]):
-        return None  # kernel specializes on a uniform field height
+    # Uniform field height (the book scene: every small sphere at y=0.2)
+    # keeps the fast 4-value ctab layout with cy as a gscal scalar; varying
+    # heights switch to the 5-value layout (cy fetched per candidate).  The
+    # cell lattice stays 2-D either way — cells are y-columns clipped by the
+    # y slab, so a tall scene costs extra candidate tests, not a 3-D DDA.
+    uniform_y = bool(np.all(cy == cy[0]))
     if np.any(np.asarray(scene.texture)[s_idx] != 0):
         return None  # checker (c1) texture is supported on globals only
 
@@ -181,40 +204,60 @@ def build_grid(scene, table: np.ndarray) -> Optional[GridTables]:
 
     cb = -(-n_cells // CELL_LANES)
     cells_pad = cb * CELL_LANES
-    slots_cx = np.zeros((N_SLOTS, cells_pad), np.float32)
-    slots_cz = np.zeros((N_SLOTS, cells_pad), np.float32)
-    slots_kc = np.full((N_SLOTS, cells_pad), POISON, np.float32)
-    slots_id = np.zeros((N_SLOTS, cells_pad), np.float32)
-    counts = np.zeros((cells_pad,), np.int32)
 
     # register each sphere in every cell its enlarged AABB overlaps;
     # s_idx is ascending, so slots end up sorted by sphere index
+    cell_members = [[] for _ in range(cells_pad)]
     for si, sphere in enumerate(s_idx):
-        x, z = cx[si], cz[si]
         for ix in range(int(ix0[si]), int(ix1[si]) + 1):
             for iz in range(int(iz0[si]), int(iz1[si]) + 1):
                 cell = (ix - cmin_x) * ncz + (iz - cmin_z)
-                k = counts[cell]
-                if k >= N_SLOTS:
-                    return None  # crowded cell: grid not applicable
-                slots_cx[k, cell] = x
-                slots_cz[k, cell] = z
-                slots_kc[k, cell] = kc[sphere]
-                slots_id[k, cell] = np.float32(sphere)
-                counts[cell] = k + 1
+                cell_members[cell].append(si)
+    maxc = max((len(m) for m in cell_members), default=0)
 
-    # ctab rows BLOCK-MAJOR: block * (4*N_SLOTS) + (slot*4 + v) — the whole
-    # 16-value block-select then runs as [16, 128] ops, not 16x [1, 128]
-    # (gridkernel._gather_rows)
-    nv = 4 * N_SLOTS
-    ctab = np.zeros((nv * cb, CELL_LANES), np.float32)
-    for s in range(N_SLOTS):
+    # slot count: the uniform-height fast path is fixed at 4 slots (the
+    # book scene's lattice guarantees it); general scenes size n_slots to
+    # the worst cell up to MAX_N_SLOTS, switching to the 5-value layout
+    # (which carries per-candidate cy) even when heights are uniform
+    if uniform_y and maxc <= N_SLOTS:
+        five, n_slots = False, N_SLOTS
+    elif maxc <= MAX_N_SLOTS:
+        five, n_slots = True, max(N_SLOTS, maxc)
+    else:
+        return None  # crowded cell: grid not applicable
+
+    slots_cx = np.zeros((n_slots, cells_pad), np.float32)
+    slots_cy = np.zeros((n_slots, cells_pad), np.float32)
+    slots_cz = np.zeros((n_slots, cells_pad), np.float32)
+    slots_kc = np.full((n_slots, cells_pad), POISON, np.float32)
+    slots_id = np.zeros((n_slots, cells_pad), np.float32)
+    for cell, members in enumerate(cell_members):
+        for k, si in enumerate(members):
+            slots_cx[k, cell] = cx[si]
+            slots_cy[k, cell] = cy[si]
+            slots_cz[k, cell] = cz[si]
+            slots_kc[k, cell] = kc[s_idx[si]]
+            slots_id[k, cell] = np.float32(s_idx[si])
+
+    # ctab rows BLOCK-MAJOR: block*stride + (slot*vals + v) — the whole
+    # block-select then runs as [stride, 128] ops, not stride x [1, 128]
+    # (gridkernel._gather_rows).  Uniform-y: 4 values (cy is a scalar),
+    # stride 16.  General: 5 values incl. cy, stride padded up to the next
+    # multiple of 8 (block starts must be sublane-aligned for the chunk
+    # lane-concat).
+    if five:
+        nv = 5 * n_slots
+        stride = -(-nv // 8) * 8
+        per = (slots_cx, slots_cy, slots_cz, slots_kc, slots_id)
+    else:
+        nv, stride = 4 * n_slots, 4 * n_slots
+        per = (slots_cx, slots_cz, slots_kc, slots_id)
+    ctab = np.zeros((stride * cb, CELL_LANES), np.float32)
+    for s in range(n_slots):
         for b in range(cb):
             sl = slice(b * CELL_LANES, (b + 1) * CELL_LANES)
-            ctab[b * nv + s * 4 + 0] = slots_cx[s, sl]
-            ctab[b * nv + s * 4 + 1] = slots_cz[s, sl]
-            ctab[b * nv + s * 4 + 2] = slots_kc[s, sl]
-            ctab[b * nv + s * 4 + 3] = slots_id[s, sl]
+            for v, arr in enumerate(per):
+                ctab[b * stride + s * len(per) + v] = arr[s, sl]
 
     # attrs by global sphere id: mat, c0.rgb, attr, center.xyz — 8 values
     # in an 8-row stride per block.  The stride exists for Mosaic alignment
@@ -271,4 +314,6 @@ def build_grid(scene, table: np.ndarray) -> Optional[GridTables]:
     gscal[0, G_CMAXZ] = np.float32(cmax_z)
 
     return GridTables(ctab=ctab, atab=atab, gtab=gtab, gttab=gttab,
-                      gscal=gscal)
+                      gscal=gscal,
+                      has_cy=np.zeros((1, n_slots), np.float32) if five
+                      else None)

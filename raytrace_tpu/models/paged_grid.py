@@ -72,6 +72,13 @@ class PagedGridTables(NamedTuple):
     attrs: np.ndarray
     gtab: np.ndarray
     gscal: np.ndarray
+    has_cy: Optional[np.ndarray] = None  # non-None ((1, 1) f32 zero) marks
+    #   the general varying-height layout: geom slots carry 5 values
+    #   (cx, cy, cz, kc, lid) and attrs carry a 6th value row set (the
+    #   sphere's center y) so winner resolution can reconstruct the full
+    #   center.  Pytree STRUCTURE is static under jit, so the kernel
+    #   layout-switches on ``has_cy is not None`` without a traced read
+    #   (geom.shape[1] alone is ambiguous between 4- and 5-value slots).
 
 
 # gscal slots (first 12 match models.grid G_* where meaningful)
@@ -100,8 +107,9 @@ def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None
     if len(g_idx) > MAX_GLOBALS or len(s_idx) == 0:
         return None
     cy = centers[s_idx, 1]
-    if not np.all(cy == cy[0]):
-        return None
+    # uniform field height keeps the 4-value geom slots with cy a gscal
+    # scalar; varying heights switch to the 5-value layout (has_cy)
+    uniform_y = bool(np.all(cy == cy[0]))
     if np.any(np.asarray(scene.texture)[s_idx] != 0):
         return None
 
@@ -174,8 +182,10 @@ def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None
     ab = -(-max_local // PAGE_LANES)
     if ab > max_ab:
         return None
-    r0 = 4 * n_slots
-    if n_pages * (r0 + 5 * ab) * PAGE_LANES * 4 > 72 * 2**20:
+    w = 4 if uniform_y else 5  # geom values per slot
+    na = 5 if uniform_y else 6  # attr value sets (6th = center y)
+    r0 = w * n_slots
+    if n_pages * (r0 + na * ab) * PAGE_LANES * 4 > 72 * 2**20:
         return None  # VMEM budget
 
     # lid lookup for each (page, sphere) registration pair
@@ -184,16 +194,23 @@ def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None
                      for p, si in zip(page.tolist(), sis.tolist())], np.int64)
 
     geom = np.zeros((n_pages * r0, PAGE_LANES), np.float32)
-    geom[2::4, :] = POISON  # kc rows default to miss
-    a0 = 5 * ab
+    geom[(w - 2) :: w, :] = POISON  # kc rows default to miss
+    a0 = na * ab
     attrs = np.zeros((n_pages * a0, PAGE_LANES), np.float32)
 
     fc = (ixs % F_AXIS) * F_AXIS_Z + (izs % F_AXIS_Z)
-    base = page * r0 + rank * 4
-    geom[base + 0, fc] = cx[sis]
-    geom[base + 1, fc] = cz[sis]
-    geom[base + 2, fc] = kc[s_idx[sis]]
-    geom[base + 3, fc] = lids.astype(np.float32)
+    base = page * r0 + rank * w
+    if uniform_y:
+        geom[base + 0, fc] = cx[sis]
+        geom[base + 1, fc] = cz[sis]
+        geom[base + 2, fc] = kc[s_idx[sis]]
+        geom[base + 3, fc] = lids.astype(np.float32)
+    else:
+        geom[base + 0, fc] = cx[sis]
+        geom[base + 1, fc] = cy[sis]
+        geom[base + 2, fc] = cz[sis]
+        geom[base + 3, fc] = kc[s_idx[sis]]
+        geom[base + 4, fc] = lids.astype(np.float32)
 
     sph = s_idx[s_of]
     b_, c_ = np.divmod(lid_of, PAGE_LANES)
@@ -202,6 +219,8 @@ def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None
     attrs[p_of * a0 + 2 * ab + b_, c_] = table[sph, 14]
     attrs[p_of * a0 + 3 * ab + b_, c_] = table[sph, 15]
     attrs[p_of * a0 + 4 * ab + b_, c_] = table[sph, 19]  # attr
+    if not uniform_y:
+        attrs[p_of * a0 + 5 * ab + b_, c_] = centers[sph, 1]  # center y
 
     g_pad = max(4, len(g_idx))
     gtab = np.zeros((g_pad, 16), np.float32)
@@ -239,4 +258,5 @@ def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None
     return PagedGridTables(
         geom=geom.reshape(n_pages, r0, PAGE_LANES),
         attrs=attrs.reshape(n_pages, a0, PAGE_LANES),
-        gtab=gtab, gscal=gscal)
+        gtab=gtab, gscal=gscal,
+        has_cy=None if uniform_y else np.zeros((1, 1), np.float32))

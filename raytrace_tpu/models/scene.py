@@ -174,7 +174,7 @@ def generate_random_scene(t: float = 0.0) -> SceneArrays:
 
 
 def random_sphere_field(count: int, seed: int = 0, extent: float = 50.0,
-                        t: float = 0.0) -> SceneArrays:
+                        t: float = 0.0, y_range=None) -> SceneArrays:
     """Procedural N-sphere stretch scene (BASELINE.json config 5).
 
     Ground + 3 hero spheres as in the book scene, plus ``count`` small
@@ -183,6 +183,10 @@ def random_sphere_field(count: int, seed: int = 0, extent: float = 50.0,
     (Pallas lane-tiling requirement for the transposed attribute table).
     Unlike ``generate_random_scene`` this uses numpy RNG (no reference
     layout to match at these sizes).
+
+    ``y_range=(lo, hi)`` scatters the small spheres' heights uniformly over
+    the interval instead of the book's fixed y=0.2 — such scenes exercise
+    the grid backend's general 5-value layout (models/grid.py has_cy).
     """
     n = count + 4
     s = max(128, -(-n // 128) * 128)
@@ -202,7 +206,10 @@ def random_sphere_field(count: int, seed: int = 0, extent: float = 50.0,
         arr_dst[:4] = arr_src[:4]  # ground + heroes
     k = count
     sc.centers[4 : 4 + k, 0] = rng.uniform(-extent, extent, k)
-    sc.centers[4 : 4 + k, 1] = 0.2
+    if y_range is None:
+        sc.centers[4 : 4 + k, 1] = 0.2
+    else:
+        sc.centers[4 : 4 + k, 1] = rng.uniform(y_range[0], y_range[1], k)
     sc.centers[4 : 4 + k, 2] = rng.uniform(-extent, extent, k)
     sc.radii[4 : 4 + k] = 0.2
     p = rng.uniform(0, 1, k)

@@ -13,14 +13,16 @@ Per wavefront iteration each lane is in one of two modes:
       by the DDA), and initialize an Amanatides-Woo 2-D DDA over the (x,z)
       cell lattice;
   marching: ``j_steps`` DDA steps (default 2 — cells/segment is ~2.4) —
-      fetch each cell's <=4 candidate spheres (cx, cz, kc, id) with
-      per-lane Mosaic ``dynamic_gather`` ops (block-major tables,
-      models/grid.py), run the exact brute-force quadratic on them, and
-      advance; at j=2 BOTH cells are fetched in one paired gather (the
-      advance direction needs only t_nx/t_nz, so the second cell is known
-      before the first cell's quadratics).  The march ends when the next
-      cell's entry t can no longer beat the best hit (t_exit >= t_best) or
-      the ray leaves the grid.
+      fetch each cell's candidate spheres with per-lane Mosaic
+      ``dynamic_gather`` ops (block-major tables, models/grid.py): 4 slots
+      of (cx, cz, kc, id) with cy a shared scalar for uniform-height
+      fields (the book scene), or ``n_slots`` (adaptive, <= 8) slots of
+      (cx, cy, cz, kc, id) for general scenes — run the exact brute-force
+      quadratic on them, and advance; at j=2 BOTH cells are fetched in one
+      paired gather (the advance direction needs only t_nx/t_nz, so the
+      second cell is known before the first cell's quadratics).  The march
+      ends when the next cell's entry t can no longer beat the best hit
+      (t_exit >= t_best) or the ray leaves the grid.
 
 A dispatch can merge ``n_calls`` progressive calls (in-kernel call merge:
 numbers number0..number0+n_calls-1 run back-to-back per pixel with the
@@ -71,7 +73,7 @@ from ..models.grid import (G_CMAXX, G_CMAXZ, G_CMINX, G_CMINZ, G_CY, G_NCZ,
 from . import rng as rngops
 from .intersect import BIG
 from .megakernel import (_SKY, S_NCALLS, S_NUMBER, S_OFFX, S_SEEDY0, S_SPP,
-                         S_SPPLAST, S_Y0, _camera_rays_rows, _norm3, _vec3)
+                         S_SPPLAST, S_Y0, _camera_rays_rows, _norm3)
 from .shading_rows import shade_rows
 
 # Lanes per grid step.  Unlike the brute-force megakernel (whose [S, T]
@@ -91,6 +93,16 @@ J_STEPS = 2  # DDA cell steps per wavefront iteration.  The r2 "j>1 loses"
 # scripts/grid_mjsweep.py)
 UNROLL = False  # statically unroll the K_STEPS loop (scheduling experiment)
 FUSE = 1  # 128-lane chunks per dynamic_gather op (stacked-table fusion)
+GROUPS = 1  # independent column groups per tile-iteration.  The iteration
+# is one long dependency chain (serial shares sum to ~94%,
+# scripts/grid_iterbench.py) and at 1024-lane op width the VPU has latency
+# slack (duplicating sections measured ~free in r2).  groups=G slices the
+# TILE into G column groups stepped as G independent dataflow chains in the
+# SAME basic block, giving Mosaic's scheduler parallel work to fill the
+# gather/dependency stalls with — e.g. group B's cell-fetch gathers can
+# issue under group A's shading ALU.  Bit-identical images by construction
+# (element-wise ops column-sliced; gathers are per-128-lane chunk either
+# way; pl.when gates are lane-masked).
 
 # f32 state rows.  R_CUR is the running color sum of the lane's CURRENT
 # pixel; it is flushed into the pixel's acc slot only when the lane advances
@@ -186,10 +198,10 @@ def _gather_rows(tab, cid, *, blocks, n_vals, stride=None, fuse=1,
     return jnp.concatenate(chunks, axis=1)  # [n_vals, T]
 
 
-def _gather_rows_pair(tab2, cid_a, cid_b, *, blocks, n_vals):
+def _gather_rows_pair(tab2, cid_a, cid_b, *, blocks, n_vals, stride=None):
     """Fetch the same blocked table for TWO entry ids per lane in ONE
     dynamic_gather per 128-lane chunk.  tab2 is the table stacked twice
-    ([2*blocks*n_vals, 128]); returns ([n_vals, T], [n_vals, T]).
+    ([2*blocks*stride, 128]); returns ([n_vals, T], [n_vals, T]).
 
     Used by the j_steps=2 march: the DDA's next cell is known BEFORE the
     current cell's quadratics (the advance direction depends only on
@@ -203,7 +215,8 @@ def _gather_rows_pair(tab2, cid_a, cid_b, *, blocks, n_vals):
     hi_a = (cid_a >> 7).reshape(nb, 128)
     lo_b = (cid_b & 127).reshape(nb, 128)
     hi_b = (cid_b >> 7).reshape(nb, 128)
-    rows = blocks * n_vals
+    stride = n_vals if stride is None else stride
+    rows = blocks * stride
     out_a, out_b = [], []
     for rb in range(nb):
         idx = jnp.concatenate(
@@ -219,7 +232,7 @@ def _gather_rows_pair(tab2, cid_a, cid_b, *, blocks, n_vals):
             h = hi[rb : rb + 1, :]
             s = gi[0:n_vals, :]
             for b in range(1, blocks):
-                s = jnp.where(h == b, gi[b * n_vals : (b + 1) * n_vals, :], s)
+                s = jnp.where(h == b, gi[b * stride : b * stride + n_vals, :], s)
             out.append(s)
     return jnp.concatenate(out_a, axis=1), jnp.concatenate(out_b, axis=1)
 
@@ -262,12 +275,15 @@ def _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a, cx, cy, cz, kc, *,
 
 def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
              gtab_ref, gttab_ref, ctab, atab, *, m_slots, n_lanes, p_total, width,
-             max_depth, tmin, tmax, skip_tmax, j_steps, cb, ab, ablate, fuse):
+             max_depth, tmin, tmax, skip_tmax, j_steps, cb, ab, ablate, fuse,
+             five=False, n_slots=N_SLOTS, cols=slice(None)):
     """One wavefront iteration: [start new segments] -> [J DDA steps] ->
     [shade/accumulate/regen lanes whose segment completed].
 
     ``acc_ref`` is the aliased state ref holding the 3*M acc rows; they are
     read-modify-written only on iterations where some lane advances pixels.
+    ``cols`` restricts the acc/fresh ref accesses to this iteration's column
+    group (the GROUPS interleave; the st rows arrive pre-sliced).
     """
     (ox, oy, oz, dx, dy, dz, fx, fy, tx_, ty_, tz_,
      t_b, t_end, t_nx, t_nz, bkey, wcx, wcz, cr_, cg_, cb2_,
@@ -342,18 +358,18 @@ def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
     elif "teaalways" in ablate:  # A/B: unconditional per-iteration hoist
         fresh_nc, fresh_np = _fresh_pair()
     else:
-        pend = fresh_ref[2:3, :]
+        pend = fresh_ref[2:3, cols]
 
         @pl.when(jnp.any(pend != 0))
         def _recompute_fresh():
             stale = pend != 0
             nc, np_ = _fresh_pair()
-            fresh_ref[0:1, :] = jnp.where(stale, nc, fresh_ref[0:1, :])
-            fresh_ref[1:2, :] = jnp.where(stale, np_, fresh_ref[1:2, :])
-            fresh_ref[2:3, :] = jnp.zeros_like(pend)
+            fresh_ref[0:1, cols] = jnp.where(stale, nc, fresh_ref[0:1, cols])
+            fresh_ref[1:2, cols] = jnp.where(stale, np_, fresh_ref[1:2, cols])
+            fresh_ref[2:3, cols] = jnp.zeros_like(pend)
 
-        fresh_nc = fresh_ref[0:1, :]
-        fresh_np = fresh_ref[1:2, :]
+        fresh_nc = fresh_ref[0:1, cols]
+        fresh_np = fresh_ref[1:2, cols]
 
     # gather-structure A/B switches (scripts/grid_ablate.py)
     fuse = 4 if "fuse4" in ablate else (2 if "fuse2" in ablate else fuse)
@@ -437,6 +453,22 @@ def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
     # ablation switches the sequential structure back on for A/B).
     dual = (j_steps == 2 and "nodual" not in ablate and not cut("fetch")
             and not vmajor and fuse == 1)
+    # slot layout: 4 values (cx, cz, kc, id) with cy a gscal scalar for
+    # uniform-field-height scenes; 5 values (cx, cy, cz, kc, id) in an
+    # 8-aligned stride otherwise (models/grid.py GridTables.has_cy)
+    w = 5 if five else 4
+    nv = w * n_slots
+    stride = -(-nv // 8) * 8 if five else nv
+
+    def _slot(vals, s):
+        """(cx, cy, cz, kc, id) rows of slot s under either layout."""
+        b = w * s
+        cy_s = vals[b + 1 : b + 2, :] if five else cy_u
+        return (vals[b : b + 1, :], cy_s,
+                vals[b + w - 3 : b + w - 2, :],
+                vals[b + w - 2 : b + w - 1, :],
+                vals[b + w - 1 : b + w, :])
+
     vals_pair = None
     if dual:
         cross1 = t_nx <= t_nz
@@ -449,45 +481,43 @@ def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
             jnp.clip(icz + step_z, cminz.astype(jnp.int32), cmaxz.astype(jnp.int32)),
             icz)
         vals_pair = _gather_rows_pair(ctab, _cid(icx, icz), _cid(icx2p, icz2p),
-                                      blocks=cb, n_vals=4 * N_SLOTS)
+                                      blocks=cb, n_vals=nv, stride=stride)
 
     for jstep in range(j_steps):
         cid = _cid(icx, icz)
         if dual:
             vals = vals_pair[jstep]
         elif cut("fetch"):
-            vals = jax.lax.broadcast_in_dim(ox, (4 * N_SLOTS, ox.shape[1]), (0, 1))
+            vals = jax.lax.broadcast_in_dim(ox, (nv, ox.shape[1]), (0, 1))
         else:
-            vals = _gather_rows(ctab, cid, blocks=cb, n_vals=4 * N_SLOTS,
+            vals = _gather_rows(ctab, cid, blocks=cb, n_vals=nv, stride=stride,
                                 fuse=fuse, narrow_select=vmajor)
         if "fetch2" in ablate:  # additive cost probe: duplicate the fetch
-            v2 = _gather_rows(ctab, cid + 1, blocks=cb, n_vals=4 * N_SLOTS,
-                              fuse=fuse, narrow_select=vmajor)
+            v2 = _gather_rows(ctab, cid + 1, blocks=cb, n_vals=nv,
+                              stride=stride, fuse=fuse, narrow_select=vmajor)
             never = (seed == jnp.uint32(0xFFFFFFFF)) & (cid < -1)
             vals = jnp.where(never, v2, vals)
-        for s in range(N_SLOTS):
+        for s in range(n_slots):
+            s_cx, s_cy, s_cz, s_kc, s_id = _slot(vals, s)
             if cut("quad"):
-                tc = vals[4 * s : 4 * s + 1, :] + oy
+                tc = s_cx + oy
             else:
                 tc = _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a,
-                                vals[4 * s : 4 * s + 1, :], cy_u,
-                                vals[4 * s + 1 : 4 * s + 2, :],
-                                vals[4 * s + 2 : 4 * s + 3, :],
+                                s_cx, s_cy, s_cz, s_kc,
                                 tmin=tmin, tmax=tmax, skip_tmax=skip_tmax)
             upd = marching & (tc < t_b)
             t_b = jnp.where(upd, tc, t_b)
-            bkey = jnp.where(upd, vals[4 * s + 3 : 4 * s + 4, :], bkey)
+            bkey = jnp.where(upd, s_id, bkey)
             # (winner centers come from the resolve gather's rows 5-7 now;
             # wcx/wcz ride the shared state layout unwritten for the paged
             # kernel's sake but the grid path no longer maintains them)
         if "isect2" in ablate:  # additive cost probe: duplicate the 4-slot
             never = (seed == jnp.uint32(0xFFFFFFFF)) & (cid < -1)  # quadratics
             tacc = t_b
-            for s in range(N_SLOTS):
+            for s in range(n_slots):
+                s_cx, s_cy, s_cz, s_kc, _ = _slot(vals, s)
                 tc2 = _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a,
-                                 vals[4 * s : 4 * s + 1, :] + 1.0, cy_u,
-                                 vals[4 * s + 1 : 4 * s + 2, :],
-                                 vals[4 * s + 2 : 4 * s + 3, :],
+                                 s_cx + 1.0, s_cy, s_cz, s_kc,
                                  tmin=tmin, tmax=tmax, skip_tmax=skip_tmax)
                 upd2 = marching & (tc2 < tacc)
                 tacc = jnp.where(upd2, tc2, tacc)
@@ -648,8 +678,8 @@ def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
             for m in range(grp * 8, min(grp * 8 + 8, m_slots)):
                 sel = sel_g & (mrow == m)
                 for c, cur in enumerate((cur_x, cur_y, cur_z)):
-                    row = acc_ref[3 * m + c : 3 * m + c + 1, :]
-                    acc_ref[3 * m + c : 3 * m + c + 1, :] = (
+                    row = acc_ref[3 * m + c : 3 * m + c + 1, cols]
+                    acc_ref[3 * m + c : 3 * m + c + 1, cols] = (
                         row + jnp.where(sel, cur, 0.0))
 
     cur_x = jnp.where(chunk_done, 0.0, cur_x)
@@ -676,7 +706,8 @@ def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
     if not cut("tea") and "teaalways" not in ablate:
         # renewed lanes' precomputed seeds are now stale; the pl.when block
         # refreshes them next iteration, long before their next renew
-        fresh_ref[2:3, :] = jnp.where(renew, jnp.uint32(1), fresh_ref[2:3, :])
+        fresh_ref[2:3, cols] = jnp.where(renew, jnp.uint32(1),
+                                         fresh_ref[2:3, cols])
     fxn = jnp.where(adv, fx2, fx)
     fyn = jnp.where(adv, fy2, fy)
     if cut("camera"):
@@ -732,11 +763,9 @@ def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
 def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, gttab_ref, ctab_ref,
             atab_ref, fin_ref, uin_ref, fout_ref, uout_ref, acc_ref,
             fresh_ref, *, m_slots, n_lanes, p_total, width, max_depth, tmin,
-            tmax, k_steps, j_steps, skip_tmax, cb, ab, ablate, unroll, fuse):
-    lane = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
-        + pl.program_id(0) * TILE
-    )
+            tmax, k_steps, j_steps, skip_tmax, cb, ab, ablate, unroll, fuse,
+            groups=1, five=False, n_slots=N_SLOTS):
+    gw = TILE // groups
     ctab = ctab_ref[:, :]
     atab = atab_ref[:, :]
     fuse = 4 if "fuse4" in ablate else (2 if "fuse2" in ablate else fuse)
@@ -751,30 +780,44 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, gttab_ref, ctab_ref,
         # one gather against the twice-stacked cell table (_iterate)
         ctab = jnp.concatenate([ctab] * 2, axis=0)
 
-    st = (
-        *_vec3(fin_ref, R_O),
-        *_vec3(fin_ref, R_D),
-        fin_ref[R_FX : R_FX + 1, :],
-        fin_ref[R_FY : R_FY + 1, :],
-        *_vec3(fin_ref, R_THR),
-        fin_ref[R_TB : R_TB + 1, :],
-        fin_ref[R_TE : R_TE + 1, :],
-        fin_ref[R_TNX : R_TNX + 1, :],
-        fin_ref[R_TNZ : R_TNZ + 1, :],
-        fin_ref[R_BKEY : R_BKEY + 1, :],
-        fin_ref[R_WCX : R_WCX + 1, :],
-        fin_ref[R_WCZ : R_WCZ + 1, :],
-        *_vec3(fin_ref, R_CUR),
-        uin_ref[U_SEED : U_SEED + 1, :],
-        uin_ref[U_M : U_M + 1, :].astype(jnp.int32),
-        uin_ref[U_SIDX : U_SIDX + 1, :].astype(jnp.int32),
-        uin_ref[U_DEPTH : U_DEPTH + 1, :].astype(jnp.int32),
-        (uin_ref[U_ALIVE : U_ALIVE + 1, :] != 0).astype(jnp.int32),
-        (uin_ref[U_MARCH : U_MARCH + 1, :] != 0).astype(jnp.int32),
-        uin_ref[U_ICX : U_ICX + 1, :].astype(jnp.int32),
-        uin_ref[U_ICZ : U_ICZ + 1, :].astype(jnp.int32),
-        uin_ref[U_CALL : U_CALL + 1, :].astype(jnp.int32),
-    )
+    def _load(g):
+        cs = slice(g * gw, (g + 1) * gw)
+        lane_g = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, gw), 1)
+            + pl.program_id(0) * TILE + g * gw
+        )
+
+        def fr(r):
+            return fin_ref[r : r + 1, cs]
+
+        def ur(r):
+            return uin_ref[r : r + 1, cs]
+
+        st = (
+            fr(R_O), fr(R_O + 1), fr(R_O + 2),
+            fr(R_D), fr(R_D + 1), fr(R_D + 2),
+            fr(R_FX),
+            fr(R_FY),
+            fr(R_THR), fr(R_THR + 1), fr(R_THR + 2),
+            fr(R_TB),
+            fr(R_TE),
+            fr(R_TNX),
+            fr(R_TNZ),
+            fr(R_BKEY),
+            fr(R_WCX),
+            fr(R_WCZ),
+            fr(R_CUR), fr(R_CUR + 1), fr(R_CUR + 2),
+            ur(U_SEED),
+            ur(U_M).astype(jnp.int32),
+            ur(U_SIDX).astype(jnp.int32),
+            ur(U_DEPTH).astype(jnp.int32),
+            (ur(U_ALIVE) != 0).astype(jnp.int32),
+            (ur(U_MARCH) != 0).astype(jnp.int32),
+            ur(U_ICX).astype(jnp.int32),
+            ur(U_ICZ).astype(jnp.int32),
+            ur(U_CALL).astype(jnp.int32),
+        )
+        return st, lane_g, cs
 
     # The 3*M acc rows live in a VMEM scratch ref RMW'd by _iterate's gated
     # flush (never loop-carried); copied in/out once per invocation.  They
@@ -785,16 +828,54 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, gttab_ref, ctab_ref,
     # precomputed fresh-seed rows (fnc, fnp, pend) — mutable within the
     # invocation (pl.when recompute), persisted through the u32 state
     fresh_ref[:, :] = uin_ref[U_FNC : U_FNC + 3, :]
-    step = functools.partial(
-        _iterate, acc_ref=acc_ref, fresh_ref=fresh_ref, lane=lane,
-        scal_ref=scal_ref,
-        vpr_ref=vpr_ref, gscal_ref=gscal_ref, gtab_ref=gtab_ref,
-        gttab_ref=gttab_ref, ctab=ctab,
-        atab=atab, m_slots=m_slots, n_lanes=n_lanes,
-        p_total=p_total, width=width, max_depth=max_depth, tmin=tmin,
-        tmax=tmax, skip_tmax=skip_tmax, j_steps=j_steps, cb=cb, ab=ab,
-        ablate=ablate, fuse=fuse,
-    )
+
+    loaded = [_load(g) for g in range(groups)]
+    step_g = [
+        functools.partial(
+            _iterate, acc_ref=acc_ref, fresh_ref=fresh_ref, lane=lane_g,
+            cols=cs, scal_ref=scal_ref,
+            vpr_ref=vpr_ref, gscal_ref=gscal_ref, gtab_ref=gtab_ref,
+            gttab_ref=gttab_ref, ctab=ctab,
+            atab=atab, m_slots=m_slots, n_lanes=n_lanes,
+            p_total=p_total, width=width, max_depth=max_depth, tmin=tmin,
+            tmax=tmax, skip_tmax=skip_tmax, j_steps=j_steps, cb=cb, ab=ab,
+            ablate=ablate, fuse=fuse, five=five, n_slots=n_slots,
+        )
+        for (_, lane_g, cs) in loaded
+    ]
+    st = loaded[0][0]
+    step = step_g[0]
+
+    if groups > 1:
+        # interleaved column groups: one fori_loop carrying all G state
+        # tuples; each iteration steps every group, so the basic block holds
+        # G independent dependency chains for Mosaic to schedule across
+        def body_g(_, sts):
+            return tuple(step_g[g](sts[g]) for g in range(groups))
+
+        sts = jax.lax.fori_loop(
+            0, k_steps, body_g, tuple(st for (st, _, _) in loaded))
+        for g, (_, _, cs) in enumerate(loaded):
+            stg = sts[g]
+            for i in range(21):
+                fout_ref[i : i + 1, cs] = stg[i]
+            (seed, mrow, sidx, depth, alive, march, icx, icz, cidx) = stg[21:]
+            uout_ref[U_SEED : U_SEED + 1, cs] = seed
+            uout_ref[U_M : U_M + 1, cs] = mrow.astype(jnp.uint32)
+            uout_ref[U_SIDX : U_SIDX + 1, cs] = sidx.astype(jnp.uint32)
+            uout_ref[U_DEPTH : U_DEPTH + 1, cs] = depth.astype(jnp.uint32)
+            uout_ref[U_ALIVE : U_ALIVE + 1, cs] = alive.astype(jnp.uint32)
+            uout_ref[U_MARCH : U_MARCH + 1, cs] = march.astype(jnp.uint32)
+            uout_ref[U_ICX : U_ICX + 1, cs] = icx.astype(jnp.uint32)
+            uout_ref[U_ICZ : U_ICZ + 1, cs] = icz.astype(jnp.uint32)
+            uout_ref[U_CALL : U_CALL + 1, cs] = cidx.astype(jnp.uint32)
+        fout_ref[R_ACC : R_ACC + 3 * m_slots, :] = acc_ref[:, :]
+        rf = f_rows(m_slots)
+        tail0 = R_ACC + 3 * m_slots
+        if tail0 < rf:
+            fout_ref[tail0:rf, :] = fin_ref[tail0:rf, :]
+        uout_ref[U_FNC : U_FNC + 3, :] = fresh_ref[:, :]
+        return
 
     if "state2" in ablate:
         # register-pressure probe: carry 8 EXTRA live rows through the loop
@@ -874,18 +955,24 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, gttab_ref, ctab_ref,
     static_argnames=(
         "m_slots", "n_lanes", "p_total", "width", "max_depth", "k_steps",
         "j_steps", "skip_tmax", "ablate", "interpret", "unroll", "fuse",
+        "groups", "five", "n_slots",
     ),
 )
 def grid_megakernel_step(scal, vpr, gscal, gtab, gttab, ctab, atab, fstate,
                          ustate, *, m_slots, n_lanes, p_total, width,
                          max_depth, k_steps=K_STEPS, j_steps=J_STEPS,
                          skip_tmax=False, ablate=(), interpret=False,
-                         unroll=False, fuse=1):
+                         unroll=False, fuse=1, groups=GROUPS, five=False,
+                         n_slots=N_SLOTS):
     """``k_steps`` grid-traced wavefront iterations over all lanes."""
+    assert TILE % (128 * groups) == 0, "group width must be 128-aligned"
+    assert groups == 1 or (not unroll and "state2" not in ablate), (
+        "unroll/state2 probes only support groups=1")
     n_pad = fstate.shape[1]
     rf = f_rows(m_slots)
     grid = n_pad // TILE
-    cb = ctab.shape[0] // (4 * N_SLOTS)
+    c_stride = (-(-5 * n_slots // 8) * 8) if five else 4 * n_slots
+    cb = ctab.shape[0] // c_stride
     ab = atab.shape[0] // 8  # 8-row stride per block: 5 attr values
     #                          (mat, c0.rgb, attr) + 3 alignment pad rows
     kernel = functools.partial(
@@ -893,7 +980,8 @@ def grid_megakernel_step(scal, vpr, gscal, gtab, gttab, ctab, atab, fstate,
         width=width, max_depth=max_depth, tmin=np.float32(config.T_MIN),
         tmax=np.float32(config.MAX_RAY_COLLISION_DISTANCE), k_steps=k_steps,
         j_steps=j_steps, skip_tmax=skip_tmax, cb=cb, ab=ab,
-        ablate=frozenset(ablate), unroll=unroll, fuse=fuse,
+        ablate=frozenset(ablate), unroll=unroll, fuse=fuse, groups=groups,
+        five=five, n_slots=n_slots,
     )
     return pl.pallas_call(
         kernel,

@@ -149,7 +149,7 @@ def _page_fetch(tab_ref, sx, sz, nscz_i, fc, masked, *, n_rows, poison_rows):
 
 def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
              attrs_ref, *, m_slots, n_lanes, p_total, width, max_depth,
-             tmin, tmax, skip_tmax, n_slots, ab, ablate):
+             tmin, tmax, skip_tmax, n_slots, ab, ablate, five=False):
     (ox, oy, oz, dx, dy, dz, fx, fy, tx_, ty_, tz_,
      t_b, t_end, t_nx, t_nz, bkey, wcx, wcz, cr_, cg_, cb2_,
      seed, mrow, sidx, depth, alive_i, march_i, cell, lane0) = st
@@ -256,30 +256,36 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
     sxm = icx >> 3
     szm = icz >> 4
     fc = ((icx & 7) << 4) | (icz & 15)
+    # geom slot layout: 4 values (cx, cz, kc, lid) with cy a gscal scalar
+    # for uniform-height fields; 5 values (cx, cy, cz, kc, lid) otherwise
+    # (models/paged_grid.py has_cy)
+    w = 5 if five else 4
     if cut("fetch"):
-        vals = jax.lax.broadcast_in_dim(ox, (4 * n_slots, ox.shape[1]), (0, 1))
+        vals = jax.lax.broadcast_in_dim(ox, (w * n_slots, ox.shape[1]), (0, 1))
     else:
         vals = _page_fetch(geom_ref, sxm, szm, nsczm_i, fc, marching,
-                           n_rows=4 * n_slots, poison_rows=(2, 4))
+                           n_rows=w * n_slots, poison_rows=(w - 2, w))
     # bkey packs the winner as ((sx<<5)|sz)<<9 | lid — page coords in
     # separate bit fields (not the linear page id) so winner resolution
     # can rebuild the 2-D box for its own page loop with static shifts.
     # Max value (63,31,511) = 2^20-1 < _TAG, exact in f32.
     pkey = (sxm * 32 + szm).astype(jnp.float32) * np.float32(512.0)
     for s in range(n_slots):
+        b0 = w * s
+        s_cy = vals[b0 + 1 : b0 + 2, :] if five else cy_u
         if cut("quad"):
-            tc = vals[4 * s : 4 * s + 1, :] + oy
+            tc = vals[b0 : b0 + 1, :] + oy
         else:
             tc = _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a,
-                            vals[4 * s : 4 * s + 1, :], cy_u,
-                            vals[4 * s + 1 : 4 * s + 2, :],
-                            vals[4 * s + 2 : 4 * s + 3, :],
+                            vals[b0 : b0 + 1, :], s_cy,
+                            vals[b0 + w - 3 : b0 + w - 2, :],
+                            vals[b0 + w - 2 : b0 + w - 1, :],
                             tmin=tmin, tmax=tmax, skip_tmax=skip_tmax)
         upd = marching & (tc < t_b)
         t_b = jnp.where(upd, tc, t_b)
-        bkey = jnp.where(upd, pkey + vals[4 * s + 3 : 4 * s + 4, :], bkey)
-        wcx = jnp.where(upd, vals[4 * s : 4 * s + 1, :], wcx)
-        wcz = jnp.where(upd, vals[4 * s + 1 : 4 * s + 2, :], wcz)
+        bkey = jnp.where(upd, pkey + vals[b0 + w - 1 : b0 + w, :], bkey)
+        wcx = jnp.where(upd, vals[b0 : b0 + 1, :], wcx)
+        wcz = jnp.where(upd, vals[b0 + w - 3 : b0 + w - 2, :], wcz)
     t_exit = jnp.minimum(t_nx, t_nz)
     cont = marching & (t_exit < t_b) & (t_exit < t_end)
     cross_x = t_nx <= t_nz
@@ -320,16 +326,18 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
         # the march's own (realistic, frozen) page assignment instead —
         # independent of upstream cut variants, so trips match across them
         sx_w, sz_w, lid, want = sxm, szm, fc, marching
+    na = 6 if five else 5  # attr value sets (6th = center y, five layout)
     if cut("resolve"):
-        at = jax.lax.broadcast_in_dim(bkey, (5 * ab, bkey.shape[1]), (0, 1))
+        at = jax.lax.broadcast_in_dim(bkey, (na * ab, bkey.shape[1]), (0, 1))
     else:
         at = _page_fetch(attrs_ref, sx_w, sz_w, nsczm_i, lid & 127, want,
-                         n_rows=5 * ab, poison_rows=None)
+                         n_rows=na * ab, poison_rows=None)
     if ab > 1:
         hi = lid >> 7
         mat = at[0:1, :]
         c0x, c0y, c0z = at[ab : ab + 1, :], at[2 * ab : 2 * ab + 1, :], at[3 * ab : 3 * ab + 1, :]
         fuzz = at[4 * ab : 4 * ab + 1, :]
+        wcy = at[5 * ab : 5 * ab + 1, :] if five else None
         for b in range(1, ab):
             sel = hi == b
             mat = jnp.where(sel, at[b : b + 1, :], mat)
@@ -337,10 +345,13 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
             c0y = jnp.where(sel, at[2 * ab + b : 2 * ab + b + 1, :], c0y)
             c0z = jnp.where(sel, at[3 * ab + b : 3 * ab + b + 1, :], c0z)
             fuzz = jnp.where(sel, at[4 * ab + b : 4 * ab + b + 1, :], fuzz)
+            if five:
+                wcy = jnp.where(sel, at[5 * ab + b : 5 * ab + b + 1, :], wcy)
     else:
         mat = at[0:1, :]
         c0x, c0y, c0z = at[1:2, :], at[2:3, :], at[3:4, :]
         fuzz = at[4:5, :]
+        wcy = at[5:6, :] if five else None
 
     # globals: center/tex/c1/mat/c0/attr from the tiny SMEM table
     bidx_f = jnp.where(is_direct, bkey - _TAG, np.float32(-1.0))
@@ -354,7 +365,7 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
     (gcx, gcy, gcz, gmat, gtex, gc0x, gc0y, gc0z,
      gc1x, gc1y, gc1z, gattr) = gsel
     cenx = jnp.where(is_direct, gcx, wcx)
-    ceny = jnp.where(is_direct, gcy, cy_u)
+    ceny = jnp.where(is_direct, gcy, wcy if five else cy_u)
     cenz = jnp.where(is_direct, gcz, wcz)
     tex = jnp.where(is_direct, gtex, 0.0)
     c1x = jnp.where(is_direct, gc1x, 0.0)
@@ -478,7 +489,7 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
 def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, attrs_ref,
             fin_ref, uin_ref, fout_ref, uout_ref, acc_ref, *, m_slots,
             n_lanes, p_total, width, max_depth, tmin, tmax, k_steps,
-            n_slots, ab, skip_tmax, ablate):
+            n_slots, ab, skip_tmax, ablate, five=False):
     st = (
         *_vec3(fin_ref, R_O),
         *_vec3(fin_ref, R_D),
@@ -510,7 +521,7 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, attrs_ref,
         attrs_ref=attrs_ref, m_slots=m_slots, n_lanes=n_lanes,
         p_total=p_total, width=width, max_depth=max_depth, tmin=tmin,
         tmax=tmax, skip_tmax=skip_tmax, n_slots=n_slots, ab=ab,
-        ablate=ablate,
+        ablate=ablate, five=five,
     )
 
     def body(_, st):
@@ -545,25 +556,25 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, attrs_ref,
     jax.jit,
     static_argnames=(
         "m_slots", "n_lanes", "p_total", "width", "max_depth", "k_steps",
-        "skip_tmax", "ablate", "interpret",
+        "skip_tmax", "ablate", "interpret", "five",
     ),
 )
 def paged_megakernel_step(scal, vpr, gscal, gtab, geom, attrs, fstate,
                           ustate, *, m_slots, n_lanes, p_total, width,
                           max_depth, k_steps=K_STEPS, skip_tmax=False,
-                          ablate=(), interpret=False):
+                          ablate=(), interpret=False, five=False):
     """``k_steps`` paged-grid wavefront iterations over all lanes."""
     n_pad = fstate.shape[1]
     rf = f_rows(m_slots)
     grid = n_pad // TILE
-    n_slots = geom.shape[1] // 4
-    ab = attrs.shape[1] // 5
+    n_slots = geom.shape[1] // (5 if five else 4)
+    ab = attrs.shape[1] // (6 if five else 5)
     kernel = functools.partial(
         _kernel, m_slots=m_slots, n_lanes=n_lanes, p_total=p_total,
         width=width, max_depth=max_depth, tmin=np.float32(config.T_MIN),
         tmax=np.float32(config.MAX_RAY_COLLISION_DISTANCE), k_steps=k_steps,
         n_slots=n_slots, ab=ab, skip_tmax=skip_tmax,
-        ablate=frozenset(ablate),
+        ablate=frozenset(ablate), five=five,
     )
     return pl.pallas_call(
         kernel,

@@ -514,10 +514,11 @@ def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
     if backend == "grid":
         g = scene.grid
         gsteps = grid_steps if grid_steps is not None else (
-            mk.J_STEPS, mk.K_STEPS, mk.UNROLL, mk.FUSE)
+            mk.J_STEPS, mk.K_STEPS, mk.UNROLL, mk.FUSE, mk.GROUPS)
         j_steps, k_steps = gsteps[0], gsteps[1]
         unroll = gsteps[2] if len(gsteps) > 2 else False
         fuse = gsteps[3] if len(gsteps) > 3 else 1
+        groups = gsteps[4] if len(gsteps) > 4 else mk.GROUPS
 
         def body(st):
             f, u, it = st
@@ -526,7 +527,10 @@ def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
                 m_slots=m_slots, n_lanes=n, p_total=p_total, width=width,
                 max_depth=max_depth, k_steps=k_steps, j_steps=j_steps,
                 skip_tmax=skip_tmax, ablate=ablate, interpret=interpret,
-                unroll=unroll, fuse=fuse,
+                unroll=unroll, fuse=fuse, groups=groups,
+                five=g.has_cy is not None,
+                n_slots=(mk.N_SLOTS if g.has_cy is None
+                         else g.has_cy.shape[1]),
             )
             return (f2, u2, it + k_steps)
     else:
@@ -725,7 +729,7 @@ def _render_band_paged(scene, vp, *, band_h, width, y0, seed_y0, offset_x,
             jnp.asarray(g.attrs), f, u,
             m_slots=m_slots, n_lanes=n, p_total=p_total, width=width,
             max_depth=max_depth, skip_tmax=skip_tmax, k_steps=k,
-            interpret=interpret,
+            interpret=interpret, five=g.has_cy is not None,
         )
         return (f2, u2, it + k)
 

@@ -263,3 +263,4 @@ def test_grid_progressive_accumulation(book):
     one = np.asarray(call(2, 0))
     two = np.asarray(call(2, 1, accum=one))
     assert (two >= one - 1e-6).all() and two.mean() > one.mean()
+

@@ -83,3 +83,27 @@ def test_auto_backend_picks_paged_for_dense():
     ds = prepare_scene(random_sphere_field(2000, seed=1, extent=7.0))
     expected = "paged" if jax.default_backend() == "tpu" else "matmul"
     assert resolve_backend("auto", ds) == expected
+
+
+@pytest.fixture(scope="module")
+def dense_varied():
+    """Dense field at varying heights: the paged backend's general 5-value
+    geom layout + attrs center-y value set (models/paged_grid.py has_cy)."""
+    return prepare_scene(
+        random_sphere_field(2000, seed=1, extent=7.0, y_range=(0.2, 2.0)))
+
+
+def test_builder_varied_height_layout(dense_varied, dense):
+    p = dense_varied.paged
+    assert p is not None and p.has_cy is not None
+    n_slots = p.geom.shape[1] // 5
+    assert p.geom.shape[1] == 5 * n_slots
+    assert p.attrs.shape[1] % 6 == 0
+    # the uniform fixture must keep the 4-value fast path
+    assert dense.paged.has_cy is None
+
+
+def test_paged_varied_height_bit_identical_shallow(dense_varied):
+    a = _render(dense_varied, "mega", depth=5, spp=2)
+    b = _render(dense_varied, "paged", depth=5, spp=2)
+    assert np.array_equal(a, b)
