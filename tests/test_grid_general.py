@@ -99,3 +99,25 @@ def test_builder_adaptive_slots_crowded_cell():
     a = _render(ds, "mega", depth=5, spp=2)
     b = _render(ds, "grid", depth=5, spp=2)
     assert np.array_equal(a, b)
+
+
+def test_sharded_varied_height_backend():
+    """The general 5-value grid layout composes with shard_map row bands
+    (same chaos budget as test_multichip's production-backend cases)."""
+    from raytrace_tpu.config import RenderConfig
+    from raytrace_tpu.models.scene import random_sphere_field
+    from raytrace_tpu.parallel.sharding import MultiChipRenderer
+    from raytrace_tpu.runtime.renderer import Renderer
+
+    sc = random_sphere_field(40, seed=3, extent=6.0, y_range=(0.2, 2.0))
+    cfg = RenderConfig(samples=2, width=32, height=16, max_depth=5,
+                       backend="grid", chips=4, pixels_per_lane=2)
+    r = Renderer(cfg, scene=sc)
+    assert r.device_scene.grid is not None
+    assert r.device_scene.grid.has_cy is not None
+    single, _ = r.render(2)
+    multi, _ = MultiChipRenderer(cfg, scene=sc).render(2)
+    single, multi = np.asarray(single), np.asarray(multi)
+    diff = np.any(single != multi, axis=2)
+    assert diff.mean() <= 0.01, f"{diff.sum()} pixels differ"
+    np.testing.assert_allclose(multi, single, rtol=0, atol=0.2)
