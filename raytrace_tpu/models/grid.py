@@ -90,6 +90,11 @@ class GridTables(NamedTuple):
     #                   (ctab's own row count is ambiguous — pad8(5*n)*cb
     #                   collides across (n, cb) pairs).  The zeros it holds
     #                   are never read.
+    ttab: Optional[np.ndarray] = None  # [AB*8, 128] per-sphere tex + c1.rgb
+    #                   (rows b*8 + {0:tex, 1-3:c1}, 4 pad rows/block) —
+    #                   present only when a FIELD sphere is textured; the
+    #                   kernel then resolves tex/c1 by one extra gather for
+    #                   all winners instead of the globals-only gttab chain.
 
 
 # gscal slot indices
@@ -133,8 +138,6 @@ def build_grid(scene, table: np.ndarray) -> Optional[GridTables]:
     # cell lattice stays 2-D either way — cells are y-columns clipped by the
     # y slab, so a tall scene costs extra candidate tests, not a 3-D DDA.
     uniform_y = bool(np.all(cy == cy[0]))
-    if np.any(np.asarray(scene.texture)[s_idx] != 0):
-        return None  # checker (c1) texture is supported on globals only
 
     cx, cz = centers[s_idx, 0], centers[s_idx, 2]
     r = radii[s_idx]
@@ -279,6 +282,21 @@ def build_grid(scene, table: np.ndarray) -> Optional[GridTables]:
         for b in range(ab):
             atab[b * 8 + v] = attrs[v, b * CELL_LANES : (b + 1) * CELL_LANES]
 
+    # Textured FIELD spheres (checker on a small sphere): the fast path
+    # reads tex/c1 from the tiny gttab select chain, which only covers
+    # globals — scenes that texture field spheres get an extra per-sphere
+    # ttab (tex, c1.rgb in an 8-row stride) resolved by one more gather.
+    # Optional field: None costs nothing (the common case incl. the book).
+    ttab = None
+    if bool(np.any(np.asarray(scene.texture)[s_idx] != 0)):
+        tvals = np.zeros((4, ids_pad), np.float32)
+        tvals[0, :s_tot] = table[:, 12]  # tex
+        tvals[1:4, :s_tot] = table[:, 16:19].T  # c1
+        ttab = np.zeros((8 * ab, CELL_LANES), np.float32)
+        for v in range(4):
+            for b in range(ab):
+                ttab[b * 8 + v] = tvals[v, b * CELL_LANES : (b + 1) * CELL_LANES]
+
     g_pad = max(4, len(g_idx))
     gtab = np.zeros((g_pad, 16), np.float32)
     gtab[:, 3] = POISON  # padding rows never hit
@@ -316,4 +334,5 @@ def build_grid(scene, table: np.ndarray) -> Optional[GridTables]:
     return GridTables(ctab=ctab, atab=atab, gtab=gtab, gttab=gttab,
                       gscal=gscal,
                       has_cy=np.zeros((1, n_slots), np.float32) if five
-                      else None)
+                      else None,
+                      ttab=ttab)

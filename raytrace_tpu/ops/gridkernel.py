@@ -276,7 +276,7 @@ def _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a, cx, cy, cz, kc, *,
 def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
              gtab_ref, gttab_ref, ctab, atab, *, m_slots, n_lanes, p_total, width,
              max_depth, tmin, tmax, skip_tmax, j_steps, cb, ab, ablate, fuse,
-             five=False, n_slots=N_SLOTS, cols=slice(None)):
+             five=False, n_slots=N_SLOTS, ttab=None, cols=slice(None)):
     """One wavefront iteration: [start new segments] -> [J DDA steps] ->
     [shade/accumulate/regen lanes whose segment completed].
 
@@ -588,23 +588,30 @@ def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
     # read (the old chain cost 7 selects per gtab row and capped how many
     # globals were affordable)
     cenx, ceny, cenz = at[5:6, :], at[6:7, :], at[7:8, :]
-    # tex / checker second color exist only on TEXTURED globals (builder
-    # contract — gttab holds just those rows, usually 1: the checkered
-    # ground): 4 selects per row, matched by sphere id (padding rows carry
-    # id -2 and real grid winners -1, so neither ever matches).  Solid
-    # globals and boundary-line spills get the 0-defaults, which IS what
-    # texture 0 means, so the chain cost doesn't scale with the spill.
-    bidx_f = jnp.where(is_direct, bkey - _TAG, np.float32(-1.0))
-    tex = jnp.zeros_like(t_b)
-    c1x = jnp.zeros_like(t_b)
-    c1y = jnp.zeros_like(t_b)
-    c1z = jnp.zeros_like(t_b)
-    for k in range(gttab_ref.shape[0]):
-        sel = bidx_f == gttab_ref[k, 4]
-        tex = jnp.where(sel, gttab_ref[k, 6], tex)
-        c1x = jnp.where(sel, gttab_ref[k, 10], c1x)
-        c1y = jnp.where(sel, gttab_ref[k, 11], c1y)
-        c1z = jnp.where(sel, gttab_ref[k, 12], c1z)
+    if ttab is not None:
+        # textured FIELD spheres exist: tex/c1 for ALL winners (globals
+        # included — ttab covers every sphere id) ride one more gather
+        tt = _gather_rows(ttab, bidx, blocks=ab, n_vals=4, stride=8,
+                          fuse=fuse, narrow_select=vmajor)
+        tex, c1x, c1y, c1z = tt[0:1, :], tt[1:2, :], tt[2:3, :], tt[3:4, :]
+    else:
+        # tex / checker second color exist only on TEXTURED globals (builder
+        # contract — gttab holds just those rows, usually 1: the checkered
+        # ground): 4 selects per row, matched by sphere id (padding rows carry
+        # id -2 and real grid winners -1, so neither ever matches).  Solid
+        # globals and boundary-line spills get the 0-defaults, which IS what
+        # texture 0 means, so the chain cost doesn't scale with the spill.
+        bidx_f = jnp.where(is_direct, bkey - _TAG, np.float32(-1.0))
+        tex = jnp.zeros_like(t_b)
+        c1x = jnp.zeros_like(t_b)
+        c1y = jnp.zeros_like(t_b)
+        c1z = jnp.zeros_like(t_b)
+        for k in range(gttab_ref.shape[0]):
+            sel = bidx_f == gttab_ref[k, 4]
+            tex = jnp.where(sel, gttab_ref[k, 6], tex)
+            c1x = jnp.where(sel, gttab_ref[k, 10], c1x)
+            c1y = jnp.where(sel, gttab_ref[k, 11], c1y)
+            c1z = jnp.where(sel, gttab_ref[k, 12], c1z)
 
     # ---- shading: shader.rchit (shared row implementation) -------------
     if cut("shade"):
@@ -764,9 +771,10 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, gttab_ref, ctab_ref,
             atab_ref, fin_ref, uin_ref, fout_ref, uout_ref, acc_ref,
             fresh_ref, *, m_slots, n_lanes, p_total, width, max_depth, tmin,
             tmax, k_steps, j_steps, skip_tmax, cb, ab, ablate, unroll, fuse,
-            groups=1, five=False, n_slots=N_SLOTS):
+            groups=1, five=False, n_slots=N_SLOTS, ttab_ref=None):
     gw = TILE // groups
     ctab = ctab_ref[:, :]
+    ttab = None if ttab_ref is None else ttab_ref[:, :]
     atab = atab_ref[:, :]
     fuse = 4 if "fuse4" in ablate else (2 if "fuse2" in ablate else fuse)
     if fuse > 1:
@@ -839,7 +847,7 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, gttab_ref, ctab_ref,
             atab=atab, m_slots=m_slots, n_lanes=n_lanes,
             p_total=p_total, width=width, max_depth=max_depth, tmin=tmin,
             tmax=tmax, skip_tmax=skip_tmax, j_steps=j_steps, cb=cb, ab=ab,
-            ablate=ablate, fuse=fuse, five=five, n_slots=n_slots,
+            ablate=ablate, fuse=fuse, five=five, n_slots=n_slots, ttab=ttab,
         )
         for (_, lane_g, cs) in loaded
     ]
@@ -959,8 +967,8 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, gttab_ref, ctab_ref,
     ),
 )
 def grid_megakernel_step(scal, vpr, gscal, gtab, gttab, ctab, atab, fstate,
-                         ustate, *, m_slots, n_lanes, p_total, width,
-                         max_depth, k_steps=K_STEPS, j_steps=J_STEPS,
+                         ustate, ttab=None, *, m_slots, n_lanes, p_total,
+                         width, max_depth, k_steps=K_STEPS, j_steps=J_STEPS,
                          skip_tmax=False, ablate=(), interpret=False,
                          unroll=False, fuse=1, groups=GROUPS, five=False,
                          n_slots=N_SLOTS):
@@ -975,28 +983,47 @@ def grid_megakernel_step(scal, vpr, gscal, gtab, gttab, ctab, atab, fstate,
     cb = ctab.shape[0] // c_stride
     ab = atab.shape[0] // 8  # 8-row stride per block: 5 attr values
     #                          (mat, c0.rgb, attr) + 3 alignment pad rows
-    kernel = functools.partial(
-        _kernel, m_slots=m_slots, n_lanes=n_lanes, p_total=p_total,
+    textured = ttab is not None  # static: pytree structure of the args
+    kw = dict(
+        m_slots=m_slots, n_lanes=n_lanes, p_total=p_total,
         width=width, max_depth=max_depth, tmin=np.float32(config.T_MIN),
         tmax=np.float32(config.MAX_RAY_COLLISION_DISTANCE), k_steps=k_steps,
         j_steps=j_steps, skip_tmax=skip_tmax, cb=cb, ab=ab,
         ablate=frozenset(ablate), unroll=unroll, fuse=fuse, groups=groups,
         five=five, n_slots=n_slots,
     )
+    if textured:
+        def kernel(scal_r, vpr_r, gscal_r, gtab_r, gttab_r, ctab_r, atab_r,
+                   ttab_r, fin_r, uin_r, fout_r, uout_r, acc_r, fresh_r):
+            _kernel(scal_r, vpr_r, gscal_r, gtab_r, gttab_r, ctab_r, atab_r,
+                    fin_r, uin_r, fout_r, uout_r, acc_r, fresh_r,
+                    ttab_ref=ttab_r, **kw)
+    else:
+        kernel = functools.partial(_kernel, **kw)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # scal (1, 8) i32
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # vpr (1, 24) f32
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # gscal (1, 16) f32
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # gtab (Gp, 16) f32
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # gttab (Tp, 16) f32
+        pl.BlockSpec(ctab.shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(atab.shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [scal, vpr, gscal, gtab, gttab, ctab, atab]
+    if textured:
+        in_specs.append(
+            pl.BlockSpec(ttab.shape, lambda g: (0, 0), memory_space=pltpu.VMEM))
+        args.append(ttab)
+    st0 = len(args)  # index of fstate (aliased to output 0)
+    in_specs += [
+        pl.BlockSpec((rf, TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
+        pl.BlockSpec((U_ROWS, TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
+    ]
+    args += [fstate, ustate]
     return pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # scal (1, 8) i32
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # vpr (1, 24) f32
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # gscal (1, 16) f32
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # gtab (Gp, 16) f32
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # gttab (Tp, 16) f32
-            pl.BlockSpec(ctab.shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(atab.shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rf, TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
-            pl.BlockSpec((U_ROWS, TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((rf, TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
             pl.BlockSpec((U_ROWS, TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
@@ -1005,11 +1032,11 @@ def grid_megakernel_step(scal, vpr, gscal, gtab, gttab, ctab, atab, fstate,
             jax.ShapeDtypeStruct((rf, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((U_ROWS, n_pad), jnp.uint32),
         ],
-        input_output_aliases={7: 0, 8: 1},  # buffer reuse only — every
-        # output row is still written (Mosaic does not preserve unwritten
-        # rows of aliased outputs)
+        input_output_aliases={st0: 0, st0 + 1: 1},  # buffer reuse only —
+        # every output row is still written (Mosaic does not preserve
+        # unwritten rows of aliased outputs)
         scratch_shapes=[pltpu.VMEM((3 * m_slots, TILE), jnp.float32),
                         pltpu.VMEM((3, TILE), jnp.uint32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(scal, vpr, gscal, gtab, gttab, ctab, atab, fstate, ustate)
+    )(*args)

@@ -524,6 +524,7 @@ def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
             f, u, it = st
             f2, u2 = mk.grid_megakernel_step(
                 scal, vpr, g.gscal, g.gtab, g.gttab, g.ctab, g.atab, f, u,
+                g.ttab,
                 m_slots=m_slots, n_lanes=n, p_total=p_total, width=width,
                 max_depth=max_depth, k_steps=k_steps, j_steps=j_steps,
                 skip_tmax=skip_tmax, ablate=ablate, interpret=interpret,

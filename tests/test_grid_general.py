@@ -121,3 +121,18 @@ def test_sharded_varied_height_backend():
     diff = np.any(single != multi, axis=2)
     assert diff.mean() <= 0.01, f"{diff.sum()} pixels differ"
     np.testing.assert_allclose(multi, single, rtol=0, atol=0.2)
+
+
+def test_textured_field_spheres_bit_identical():
+    """Checkered FIELD spheres (previously a brute-force fallback) resolve
+    tex/c1 through the optional per-sphere ttab gather — bit-identical."""
+    from raytrace_tpu.models.scene import CHECKERED, random_sphere_field
+
+    sc = random_sphere_field(60, seed=3, extent=8.0)
+    sc.texture[10:20] = CHECKERED
+    sc.color1[10:20] = (0.9, 0.1, 0.1)
+    ds = prepare_scene(sc)
+    assert ds.grid is not None and ds.grid.ttab is not None
+    a = _render(ds, "mega", depth=5, spp=2)
+    b = _render(ds, "grid", depth=5, spp=2)
+    assert np.array_equal(a, b)
