@@ -136,3 +136,14 @@ def test_textured_field_spheres_bit_identical():
     a = _render(ds, "mega", depth=5, spp=2)
     b = _render(ds, "grid", depth=5, spp=2)
     assert np.array_equal(a, b)
+
+
+def test_auto_backend_picks_grid_for_varied_scene(varied_y):
+    """resolve_backend("auto") routes varied-height custom scenes to the
+    grid AS on TPU (they fell to brute force before the general layout)."""
+    import jax
+
+    from raytrace_tpu.runtime.renderer import resolve_backend
+
+    expected = "grid" if jax.default_backend() == "tpu" else "matmul"
+    assert resolve_backend("auto", varied_y) == expected
