@@ -211,7 +211,7 @@ def build_grid(scene, table: np.ndarray) -> Optional[GridTables]:
     # register each sphere in every cell its enlarged AABB overlaps;
     # s_idx is ascending, so slots end up sorted by sphere index
     cell_members = [[] for _ in range(cells_pad)]
-    for si, sphere in enumerate(s_idx):
+    for si in range(len(s_idx)):
         for ix in range(int(ix0[si]), int(ix1[si]) + 1):
             for iz in range(int(iz0[si]), int(iz1[si]) + 1):
                 cell = (ix - cmin_x) * ncz + (iz - cmin_z)

@@ -782,6 +782,8 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, gttab_ref, ctab_ref,
         # the iteration loop; chunk i's index rows address copy i)
         ctab = jnp.concatenate([ctab] * fuse, axis=0)
         atab = jnp.concatenate([atab] * fuse, axis=0)
+        if ttab is not None:
+            ttab = jnp.concatenate([ttab] * fuse, axis=0)
     elif (j_steps == 2 and "nodual" not in ablate and "cut_fetch" not in ablate
           and "vmajor" not in ablate):
         # paired-fetch production path (j=2): both march steps' fetches in

@@ -50,14 +50,11 @@ def run(m, k, return_iters=False):
 
 
 iters = {}
-base = None
 for m, k in CONFIGS:
     t0 = time.perf_counter()
     iters[(m, k)] = run(m, k, return_iters=True)
     print(f"M={m} K={k}: warm {time.perf_counter()-t0:.0f}s "
           f"iters={iters[(m,k)]}", flush=True)
-    if base is None:
-        base = run  # placeholder; warm pass doubles as compile
 
 times = {c: [] for c in CONFIGS}
 for rnd in range(ROUNDS):
