@@ -74,11 +74,16 @@ class PagedGridTables(NamedTuple):
     gscal: np.ndarray
     has_cy: Optional[np.ndarray] = None  # non-None ((1, 1) f32 zero) marks
     #   the general varying-height layout: geom slots carry 5 values
-    #   (cx, cy, cz, kc, lid) and attrs carry a 6th value row set (the
+    #   (cx, cy, cz, kc, lid) and attrs carry an extra value row set (the
     #   sphere's center y) so winner resolution can reconstruct the full
     #   center.  Pytree STRUCTURE is static under jit, so the kernel
     #   layout-switches on ``has_cy is not None`` without a traced read
     #   (geom.shape[1] alone is ambiguous between 4- and 5-value slots).
+    has_tex: Optional[np.ndarray] = None  # non-None marks textured FIELD
+    #   spheres: attrs carry 4 more value sets (tex, c1.rgb) appended after
+    #   (mat, c0.rgb, attr[, cy]), and winner resolution reads tex/c1 from
+    #   the page fetch instead of zeros.  Same optional-field static
+    #   channel as has_cy.
 
 
 # gscal slots (first 12 match models.grid G_* where meaningful)
@@ -110,8 +115,7 @@ def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None
     # uniform field height keeps the 4-value geom slots with cy a gscal
     # scalar; varying heights switch to the 5-value layout (has_cy)
     uniform_y = bool(np.all(cy == cy[0]))
-    if np.any(np.asarray(scene.texture)[s_idx] != 0):
-        return None
+    textured = bool(np.any(np.asarray(scene.texture)[s_idx] != 0))
 
     cx, cz = centers[s_idx, 0], centers[s_idx, 2]
     r = radii[s_idx]
@@ -183,7 +187,9 @@ def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None
     if ab > max_ab:
         return None
     w = 4 if uniform_y else 5  # geom values per slot
-    na = 5 if uniform_y else 6  # attr value sets (6th = center y)
+    # attr value sets: (mat, c0.rgb, attr) + center y when heights vary
+    # + (tex, c1.rgb) when field spheres are textured
+    na = (5 if uniform_y else 6) + (4 if textured else 0)
     r0 = w * n_slots
     if n_pages * (r0 + na * ab) * PAGE_LANES * 4 > 72 * 2**20:
         return None  # VMEM budget
@@ -221,6 +227,12 @@ def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None
     attrs[p_of * a0 + 4 * ab + b_, c_] = table[sph, 19]  # attr
     if not uniform_y:
         attrs[p_of * a0 + 5 * ab + b_, c_] = centers[sph, 1]  # center y
+    if textured:
+        t0 = (5 if uniform_y else 6) * ab
+        attrs[p_of * a0 + t0 + 0 * ab + b_, c_] = table[sph, 12]  # tex
+        attrs[p_of * a0 + t0 + 1 * ab + b_, c_] = table[sph, 16]  # c1.r
+        attrs[p_of * a0 + t0 + 2 * ab + b_, c_] = table[sph, 17]
+        attrs[p_of * a0 + t0 + 3 * ab + b_, c_] = table[sph, 18]
 
     g_pad = max(4, len(g_idx))
     gtab = np.zeros((g_pad, 16), np.float32)
@@ -259,4 +271,5 @@ def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None
         geom=geom.reshape(n_pages, r0, PAGE_LANES),
         attrs=attrs.reshape(n_pages, a0, PAGE_LANES),
         gtab=gtab, gscal=gscal,
-        has_cy=None if uniform_y else np.zeros((1, 1), np.float32))
+        has_cy=None if uniform_y else np.zeros((1, 1), np.float32),
+        has_tex=np.zeros((1, 1), np.float32) if textured else None)

@@ -149,7 +149,8 @@ def _page_fetch(tab_ref, sx, sz, nscz_i, fc, masked, *, n_rows, poison_rows):
 
 def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
              attrs_ref, *, m_slots, n_lanes, p_total, width, max_depth,
-             tmin, tmax, skip_tmax, n_slots, ab, ablate, five=False):
+             tmin, tmax, skip_tmax, n_slots, ab, ablate, five=False,
+             textured=False):
     (ox, oy, oz, dx, dy, dz, fx, fy, tx_, ty_, tz_,
      t_b, t_end, t_nx, t_nz, bkey, wcx, wcz, cr_, cg_, cb2_,
      seed, mrow, sidx, depth, alive_i, march_i, cell, lane0) = st
@@ -326,7 +327,10 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
         # the march's own (realistic, frozen) page assignment instead —
         # independent of upstream cut variants, so trips match across them
         sx_w, sz_w, lid, want = sxm, szm, fc, marching
-    na = 6 if five else 5  # attr value sets (6th = center y, five layout)
+    # attr value sets: (mat, c0.rgb, attr) + center y (five layout)
+    # + (tex, c1.rgb) when field spheres are textured
+    na = (6 if five else 5) + (4 if textured else 0)
+    t0 = (6 if five else 5) * ab  # first tex row (textured layout)
     if cut("resolve"):
         at = jax.lax.broadcast_in_dim(bkey, (na * ab, bkey.shape[1]), (0, 1))
     else:
@@ -338,6 +342,8 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
         c0x, c0y, c0z = at[ab : ab + 1, :], at[2 * ab : 2 * ab + 1, :], at[3 * ab : 3 * ab + 1, :]
         fuzz = at[4 * ab : 4 * ab + 1, :]
         wcy = at[5 * ab : 5 * ab + 1, :] if five else None
+        ft = [at[t0 + v * ab : t0 + v * ab + 1, :]
+              for v in range(4)] if textured else None
         for b in range(1, ab):
             sel = hi == b
             mat = jnp.where(sel, at[b : b + 1, :], mat)
@@ -347,11 +353,15 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
             fuzz = jnp.where(sel, at[4 * ab + b : 4 * ab + b + 1, :], fuzz)
             if five:
                 wcy = jnp.where(sel, at[5 * ab + b : 5 * ab + b + 1, :], wcy)
+            if textured:
+                ft = [jnp.where(sel, at[t0 + v * ab + b : t0 + v * ab + b + 1, :],
+                                ft[v]) for v in range(4)]
     else:
         mat = at[0:1, :]
         c0x, c0y, c0z = at[1:2, :], at[2:3, :], at[3:4, :]
         fuzz = at[4:5, :]
         wcy = at[5:6, :] if five else None
+        ft = [at[t0 + v : t0 + v + 1, :] for v in range(4)] if textured else None
 
     # globals: center/tex/c1/mat/c0/attr from the tiny SMEM table
     bidx_f = jnp.where(is_direct, bkey - _TAG, np.float32(-1.0))
@@ -367,10 +377,10 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
     cenx = jnp.where(is_direct, gcx, wcx)
     ceny = jnp.where(is_direct, gcy, wcy if five else cy_u)
     cenz = jnp.where(is_direct, gcz, wcz)
-    tex = jnp.where(is_direct, gtex, 0.0)
-    c1x = jnp.where(is_direct, gc1x, 0.0)
-    c1y = jnp.where(is_direct, gc1y, 0.0)
-    c1z = jnp.where(is_direct, gc1z, 0.0)
+    tex = jnp.where(is_direct, gtex, ft[0] if textured else 0.0)
+    c1x = jnp.where(is_direct, gc1x, ft[1] if textured else 0.0)
+    c1y = jnp.where(is_direct, gc1y, ft[2] if textured else 0.0)
+    c1z = jnp.where(is_direct, gc1z, ft[3] if textured else 0.0)
     mat = jnp.where(is_direct, gmat, mat)
     c0x = jnp.where(is_direct, gc0x, c0x)
     c0y = jnp.where(is_direct, gc0y, c0y)
@@ -489,7 +499,7 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
 def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, attrs_ref,
             fin_ref, uin_ref, fout_ref, uout_ref, acc_ref, *, m_slots,
             n_lanes, p_total, width, max_depth, tmin, tmax, k_steps,
-            n_slots, ab, skip_tmax, ablate, five=False):
+            n_slots, ab, skip_tmax, ablate, five=False, textured=False):
     st = (
         *_vec3(fin_ref, R_O),
         *_vec3(fin_ref, R_D),
@@ -521,7 +531,7 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, attrs_ref,
         attrs_ref=attrs_ref, m_slots=m_slots, n_lanes=n_lanes,
         p_total=p_total, width=width, max_depth=max_depth, tmin=tmin,
         tmax=tmax, skip_tmax=skip_tmax, n_slots=n_slots, ab=ab,
-        ablate=ablate, five=five,
+        ablate=ablate, five=five, textured=textured,
     )
 
     def body(_, st):
@@ -556,25 +566,26 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, attrs_ref,
     jax.jit,
     static_argnames=(
         "m_slots", "n_lanes", "p_total", "width", "max_depth", "k_steps",
-        "skip_tmax", "ablate", "interpret", "five",
+        "skip_tmax", "ablate", "interpret", "five", "textured",
     ),
 )
 def paged_megakernel_step(scal, vpr, gscal, gtab, geom, attrs, fstate,
                           ustate, *, m_slots, n_lanes, p_total, width,
                           max_depth, k_steps=K_STEPS, skip_tmax=False,
-                          ablate=(), interpret=False, five=False):
+                          ablate=(), interpret=False, five=False,
+                          textured=False):
     """``k_steps`` paged-grid wavefront iterations over all lanes."""
     n_pad = fstate.shape[1]
     rf = f_rows(m_slots)
     grid = n_pad // TILE
     n_slots = geom.shape[1] // (5 if five else 4)
-    ab = attrs.shape[1] // (6 if five else 5)
+    ab = attrs.shape[1] // ((6 if five else 5) + (4 if textured else 0))
     kernel = functools.partial(
         _kernel, m_slots=m_slots, n_lanes=n_lanes, p_total=p_total,
         width=width, max_depth=max_depth, tmin=np.float32(config.T_MIN),
         tmax=np.float32(config.MAX_RAY_COLLISION_DISTANCE), k_steps=k_steps,
         n_slots=n_slots, ab=ab, skip_tmax=skip_tmax,
-        ablate=frozenset(ablate), five=five,
+        ablate=frozenset(ablate), five=five, textured=textured,
     )
     return pl.pallas_call(
         kernel,

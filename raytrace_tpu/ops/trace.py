@@ -731,6 +731,7 @@ def _render_band_paged(scene, vp, *, band_h, width, y0, seed_y0, offset_x,
             m_slots=m_slots, n_lanes=n, p_total=p_total, width=width,
             max_depth=max_depth, skip_tmax=skip_tmax, k_steps=k,
             interpret=interpret, five=g.has_cy is not None,
+            textured=g.has_tex is not None,
         )
         return (f2, u2, it + k)
 

@@ -107,3 +107,21 @@ def test_paged_varied_height_bit_identical_shallow(dense_varied):
     a = _render(dense_varied, "mega", depth=5, spp=2)
     b = _render(dense_varied, "paged", depth=5, spp=2)
     assert np.array_equal(a, b)
+
+
+def test_paged_textured_field_spheres_bit_identical():
+    """Checkered FIELD spheres in a dense scene (previously a brute-force
+    fallback): attrs carry tex/c1 value sets (has_tex) — bit-identical,
+    in both the uniform-height and varied-height layouts."""
+    from raytrace_tpu.models.scene import CHECKERED
+
+    for y_range in (None, (0.2, 2.0)):
+        sc = random_sphere_field(2000, seed=1, extent=7.0, y_range=y_range)
+        sc.texture[50:200] = CHECKERED
+        sc.color1[50:200] = (0.9, 0.2, 0.1)
+        ds = prepare_scene(sc)
+        assert ds.paged is not None and ds.paged.has_tex is not None
+        assert (ds.paged.has_cy is not None) == (y_range is not None)
+        a = _render(ds, "mega", depth=5, spp=2)
+        b = _render(ds, "paged", depth=5, spp=2)
+        assert np.array_equal(a, b), f"y_range={y_range}"
