@@ -41,8 +41,13 @@ MAX_N_SLOTS = 8  # adaptive cap for the general 5-value layout: random
 #                  sizes n_slots to the worst cell, up to this cap
 DELTA = 1e-2  # conservative AABB enlargement (>> DDA fp slop)
 MAX_CELLS = 8 * CELL_LANES  # CB <= 8 keeps the fetch tables small
-MAX_GLOBALS = 8  # genuinely-large spheres (each is a per-segment quadratic
-#                  that does NOT prune the march the way cell tests do)
+MAX_GLOBALS = 16  # genuinely-large spheres (each is a per-segment quadratic
+#                  that does NOT prune the march the way cell tests do).
+#                  The kernel's globals loop is scene-adaptive (gtab rows =
+#                  the actual global count), so this cap only decides when
+#                  to give up on the grid entirely; measured marginal cost
+#                  ~0.075%/global on scenes that use the headroom, zero on
+#                  scenes that don't (the book scene's gtab is its own size)
 MAX_GTAB = 32  # global-table rows incl. boundary-line spills (below)
 POISON = np.float32(3e30)  # kc sentinel: disc < 0 -> NaN sqrt -> miss
 

@@ -147,3 +147,23 @@ def test_auto_backend_picks_grid_for_varied_scene(varied_y):
 
     expected = "grid" if jax.default_backend() == "tpu" else "matmul"
     assert resolve_backend("auto", varied_y) == expected
+
+
+def test_many_large_spheres_bit_identical():
+    """Up to MAX_GLOBALS (16) large spheres ride the scene-adaptive globals
+    table instead of forcing the brute-force fallback."""
+    from raytrace_tpu.models.scene import random_sphere_field
+
+    sc = random_sphere_field(40, seed=5, extent=6.0)
+    # add 8 more large spheres (>0.5 radius -> global) to the 4 heroes
+    sc.centers[44:52, 0] = np.linspace(-5.0, 5.0, 8)
+    sc.centers[44:52, 1] = 1.0
+    sc.centers[44:52, 2] = -4.0
+    sc.radii[44:52] = 0.9
+    sc.color0[44:52] = (0.6, 0.5, 0.4)
+    sc = sc._replace(n_spheres=np.int32(52))
+    ds = prepare_scene(sc)
+    assert ds.grid is not None
+    a = _render(ds, "mega", depth=5, spp=2)
+    b = _render(ds, "grid", depth=5, spp=2)
+    assert np.array_equal(a, b)
