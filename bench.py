@@ -28,6 +28,32 @@ def main() -> int:
     backend = os.environ.get("BENCH_BACKEND", "auto")
     budget_s = float(os.environ.get("BENCH_BUDGET_S", 1500))
 
+    # Fail FAST if the TPU relay is unreachable: jax device init through a
+    # dead axon relay HANGS indefinitely (observed: multi-hour outage where
+    # even jax.devices() never returns), which would wedge any automated
+    # bench run.  Probe device init on a daemon thread with a deadline and
+    # emit a well-formed error line instead of hanging.
+    import threading
+
+    dev_ok = threading.Event()
+
+    def _probe_devices():
+        import jax as _jax
+
+        _jax.devices()
+        dev_ok.set()
+
+    _t = threading.Thread(target=_probe_devices, daemon=True)
+    _t.start()
+    _t.join(timeout=float(os.environ.get("BENCH_DEVICE_TIMEOUT_S", 300)))
+    if not dev_ok.is_set():
+        print(json.dumps({
+            "metric": f"seconds_{width}x{height}_{target_spp}spp",
+            "value": -1, "unit": "s", "vs_baseline": -1,
+            "error": "TPU device init timed out (relay unreachable)",
+        }))
+        os._exit(1)  # daemon thread may be stuck inside the backend
+
     import jax
     import numpy as np
 
