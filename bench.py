@@ -36,22 +36,31 @@ def main() -> int:
     import threading
 
     dev_ok = threading.Event()
+    probe_err = []
 
     def _probe_devices():
-        import jax as _jax
+        try:
+            import jax as _jax
 
-        _jax.devices()
-        dev_ok.set()
+            _jax.devices()
+            dev_ok.set()
+        except BaseException as e:  # surface init crashes, don't eat them
+            probe_err.append(repr(e))
 
     _t = threading.Thread(target=_probe_devices, daemon=True)
     _t.start()
-    _t.join(timeout=float(os.environ.get("BENCH_DEVICE_TIMEOUT_S", 300)))
+    deadline = time.monotonic() + float(
+        os.environ.get("BENCH_DEVICE_TIMEOUT_S", 300))
+    while _t.is_alive() and time.monotonic() < deadline:
+        _t.join(timeout=2.0)  # probe crash exits this loop immediately
     if not dev_ok.is_set():
+        err = (probe_err[0] if probe_err
+               else "TPU device init timed out (relay unreachable)")
         print(json.dumps({
             "metric": f"seconds_{width}x{height}_{target_spp}spp",
             "value": -1, "unit": "s", "vs_baseline": -1,
-            "error": "TPU device init timed out (relay unreachable)",
-        }))
+            "error": err,
+        }), flush=True)  # os._exit skips stdio flushing
         os._exit(1)  # daemon thread may be stuck inside the backend
 
     import jax

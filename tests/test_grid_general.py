@@ -149,21 +149,31 @@ def test_auto_backend_picks_grid_for_varied_scene(varied_y):
     assert resolve_backend("auto", varied_y) == expected
 
 
-def test_many_large_spheres_bit_identical():
-    """Up to MAX_GLOBALS (16) large spheres ride the scene-adaptive globals
-    table instead of forcing the brute-force fallback."""
+def _with_extra_globals(n_extra):
+    """40-sphere field + the 4 heroes + n_extra more large spheres."""
     from raytrace_tpu.models.scene import random_sphere_field
 
     sc = random_sphere_field(40, seed=5, extent=6.0)
-    # add 8 more large spheres (>0.5 radius -> global) to the 4 heroes
-    sc.centers[44:52, 0] = np.linspace(-5.0, 5.0, 8)
-    sc.centers[44:52, 1] = 1.0
-    sc.centers[44:52, 2] = -4.0
-    sc.radii[44:52] = 0.9
-    sc.color0[44:52] = (0.6, 0.5, 0.4)
-    sc = sc._replace(n_spheres=np.int32(52))
-    ds = prepare_scene(sc)
+    lo, hi = 44, 44 + n_extra
+    sc.centers[lo:hi, 0] = np.linspace(-5.0, 5.0, n_extra)
+    sc.centers[lo:hi, 1] = 1.0
+    sc.centers[lo:hi, 2] = -4.0
+    sc.radii[lo:hi] = 0.9
+    sc.color0[lo:hi] = (0.6, 0.5, 0.4)
+    return sc._replace(n_spheres=np.int32(hi))
+
+
+def test_many_large_spheres_bit_identical():
+    """EXACTLY MAX_GLOBALS (16) large spheres ride the scene-adaptive
+    globals table instead of forcing the brute-force fallback."""
+    ds = prepare_scene(_with_extra_globals(12))  # 4 heroes + 12 = the cap
     assert ds.grid is not None
     a = _render(ds, "mega", depth=5, spp=2)
     b = _render(ds, "grid", depth=5, spp=2)
     assert np.array_equal(a, b)
+
+
+def test_too_many_large_spheres_falls_back():
+    """One past the cap (17 globals) must fall back to brute force."""
+    ds = prepare_scene(_with_extra_globals(13))
+    assert ds.grid is None and ds.paged is None
