@@ -18,9 +18,9 @@ Per wavefront iteration each lane is in one of two modes:
       of (cx, cz, kc, id) with cy a shared scalar for uniform-height
       fields (the book scene), or ``n_slots`` (adaptive, <= 8) slots of
       (cx, cy, cz, kc, id) for general scenes — run the exact brute-force
-      quadratic on them, and advance; at j=2 BOTH cells are fetched in one
-      paired gather (the advance direction needs only t_nx/t_nz, so the
-      second cell is known before the first cell's quadratics).  The march
+      quadratic on them, and advance; at j>=2 ALL j cells are fetched in
+      one speculative gather (the advance direction needs only t_nx/t_nz,
+      so the whole cell chain is known before any quadratic).  The march
       ends when the next cell's entry t can no longer beat the best hit
       (t_exit >= t_best) or the ray leaves the grid.
 
@@ -198,43 +198,44 @@ def _gather_rows(tab, cid, *, blocks, n_vals, stride=None, fuse=1,
     return jnp.concatenate(chunks, axis=1)  # [n_vals, T]
 
 
-def _gather_rows_pair(tab2, cid_a, cid_b, *, blocks, n_vals, stride=None):
-    """Fetch the same blocked table for TWO entry ids per lane in ONE
-    dynamic_gather per 128-lane chunk.  tab2 is the table stacked twice
-    ([2*blocks*stride, 128]); returns ([n_vals, T], [n_vals, T]).
+def _gather_rows_multi(tab_n, cids, *, blocks, n_vals, stride=None):
+    """Fetch the same blocked table for N entry ids per lane in ONE
+    dynamic_gather per 128-lane chunk.  tab_n is the table stacked N times
+    ([N*blocks*stride, 128]); returns a list of N [n_vals, T] arrays.
 
-    Used by the j_steps=2 march: the DDA's next cell is known BEFORE the
-    current cell's quadratics (the advance direction depends only on
-    t_nx/t_nz), so both march steps' candidate fetches issue together —
-    removing the fetch -> advance -> fetch serialization that made the
-    fetch 45% of the iteration's serial cost (scripts/grid_iterbench.py).
+    Used by the j_steps>=2 march: the DDA's cell SEQUENCE is known before
+    any quadratic runs (advance direction depends only on t_nx/t_nz, never
+    on hit results — hits only STOP the march), so all j march steps'
+    candidate fetches issue together as one gather per chunk — removing the
+    fetch -> advance -> fetch serialization that made the fetch 45% of the
+    iteration's serial cost (scripts/grid_iterbench.py).  Lanes that stop
+    early get unused (masked) fetches for the speculative tail cells.
     """
-    t = cid_a.shape[1]
+    n = len(cids)
+    t = cids[0].shape[1]
     nb = t // 128
-    lo_a = (cid_a & 127).reshape(nb, 128)
-    hi_a = (cid_a >> 7).reshape(nb, 128)
-    lo_b = (cid_b & 127).reshape(nb, 128)
-    hi_b = (cid_b >> 7).reshape(nb, 128)
+    los = [(c & 127).reshape(nb, 128) for c in cids]
+    his = [(c >> 7).reshape(nb, 128) for c in cids]
     stride = n_vals if stride is None else stride
     rows = blocks * stride
-    out_a, out_b = [], []
+    outs = [[] for _ in range(n)]
     for rb in range(nb):
         idx = jnp.concatenate(
             [
-                jax.lax.broadcast_in_dim(lo_a[rb : rb + 1, :], (rows, 128), (0, 1)),
-                jax.lax.broadcast_in_dim(lo_b[rb : rb + 1, :], (rows, 128), (0, 1)),
+                jax.lax.broadcast_in_dim(lo[rb : rb + 1, :], (rows, 128), (0, 1))
+                for lo in los
             ],
             axis=0,
         )
-        g = jnp.take_along_axis(tab2[: 2 * rows], idx, axis=1)  # [2*rows, 128]
-        for half, hi, out in ((0, hi_a, out_a), (1, hi_b, out_b)):
-            gi = g[half * rows : (half + 1) * rows, :]
-            h = hi[rb : rb + 1, :]
+        g = jnp.take_along_axis(tab_n[: n * rows], idx, axis=1)  # [n*rows, 128]
+        for i in range(n):
+            gi = g[i * rows : (i + 1) * rows, :]
+            h = his[i][rb : rb + 1, :]
             s = gi[0:n_vals, :]
             for b in range(1, blocks):
                 s = jnp.where(h == b, gi[b * stride : b * stride + n_vals, :], s)
-            out.append(s)
-    return jnp.concatenate(out_a, axis=1), jnp.concatenate(out_b, axis=1)
+            outs[i].append(s)
+    return [jnp.concatenate(o, axis=1) for o in outs]
 
 
 def _slab_inv(o_c, d_c, inv, lo, hi):
@@ -444,14 +445,15 @@ def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
         return ((x.astype(jnp.float32) - cminx) * ncz
                 + (z.astype(jnp.float32) - cminz)).astype(jnp.int32)
 
-    # paired fetch (the j=2 production path): the advance DIRECTION depends
-    # only on t_nx/t_nz, so the second march step's cell is known before the
-    # first step's quadratics — both fetches issue as ONE gather per chunk
-    # (ctab arrives pre-stacked).  Lanes that stop after step 1 get an
-    # unused (masked) second fetch, exactly like the sequential path's
-    # redundant same-cell fetch — images are bit-identical ("nodual"
-    # ablation switches the sequential structure back on for A/B).
-    dual = (j_steps == 2 and "nodual" not in ablate and not cut("fetch")
+    # speculative multi-cell fetch (the j>=2 production path): the advance
+    # DIRECTION depends only on t_nx/t_nz (hits only STOP the march), so the
+    # whole j-cell chain is known before any quadratic runs — all j fetches
+    # issue as ONE gather per chunk (ctab arrives pre-stacked j times).
+    # Lanes that stop after step s get unused (masked) fetches for the
+    # speculative tail, exactly like the sequential path's redundant
+    # same-cell fetch — images are bit-identical ("nodual" ablation switches
+    # the sequential structure back on for A/B).
+    dual = (j_steps >= 2 and "nodual" not in ablate and not cut("fetch")
             and not vmajor and fuse == 1)
     # slot layout: 4 values (cx, cz, kc, id) with cy a gscal scalar for
     # uniform-field-height scenes; 5 values (cx, cy, cz, kc, id) in an
@@ -471,17 +473,30 @@ def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
 
     vals_pair = None
     if dual:
-        cross1 = t_nx <= t_nz
-        icx2p = jnp.where(
-            cross1,
-            jnp.clip(icx + step_x, cminx.astype(jnp.int32), cmaxx.astype(jnp.int32)),
-            icx)
-        icz2p = jnp.where(
-            ~cross1,
-            jnp.clip(icz + step_z, cminz.astype(jnp.int32), cmaxz.astype(jnp.int32)),
-            icz)
-        vals_pair = _gather_rows_pair(ctab, _cid(icx, icz), _cid(icx2p, icz2p),
-                                      blocks=cb, n_vals=nv, stride=stride)
+        # speculative cell chain: replays the in-loop advance (same cross
+        # compare, same clip) withOUT the cont gate — a lane still marching
+        # at step s necessarily advanced at every prior step, so its real
+        # (icx, icz, t_nx, t_nz) match the chain; a stopped lane's tail
+        # fetches are dead (upd is masked by `marching`).
+        sicx, sicz, stnx, stnz = icx, icz, t_nx, t_nz
+        cids = [_cid(icx, icz)]
+        for _ in range(j_steps - 1):
+            crs = stnx <= stnz
+            sicx = jnp.where(
+                crs,
+                jnp.clip(sicx + step_x, cminx.astype(jnp.int32),
+                         cmaxx.astype(jnp.int32)),
+                sicx)
+            sicz = jnp.where(
+                ~crs,
+                jnp.clip(sicz + step_z, cminz.astype(jnp.int32),
+                         cmaxz.astype(jnp.int32)),
+                sicz)
+            stnx = jnp.where(crs, stnx + dt_x, stnx)
+            stnz = jnp.where(~crs, stnz + dt_z, stnz)
+            cids.append(_cid(sicx, sicz))
+        vals_pair = _gather_rows_multi(ctab, cids, blocks=cb, n_vals=nv,
+                                       stride=stride)
 
     for jstep in range(j_steps):
         cid = _cid(icx, icz)
@@ -623,7 +638,8 @@ def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
         (px_, py_, pz_, ax, ay, az, sdx, sdy, sdz, does_scatter,
          seed_h) = shade_rows(ox, oy, oz, dx, dy, dz, t_b, seed,
                               cenx, ceny, cenz, mat, tex, c0x, c0y, c0z,
-                              c1x, c1y, c1z, fuzz, cut_sin=cut("sin"))
+                              c1x, c1y, c1z, fuzz, cut_sin=cut("sin"),
+                              redot="redot" in ablate)
     if "shade2" in ablate:  # additive cost probe: duplicate the shading
         never = (seed == jnp.uint32(0xFFFFFFFF)) & (bidx < -1)
         s2 = shade_rows(ox, oy, oz, dx, dy, dz, t_b + 1.0, seed,
@@ -677,17 +693,26 @@ def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
     # groups are active and the RMW loop touches 24-48 rows instead of
     # 3*m_slots (192 at M=64) — this is what made larger M lose before
     # (the flush loop scaled with M; r2 measured M=128 12% slower).
-    for grp in range(-(-m_slots // 8)):
-        sel_g = chunk_done & ((mrow >> 3) == grp)
+    # The whole loop sits under ONE outer pl.when: most iterations flush
+    # nothing, so the common case pays one any-reduce instead of m_slots/8
+    # per-group reduces ("flushflat" ablation restores the flat structure).
+    def _flush_groups():
+        for grp in range(-(-m_slots // 8)):
+            sel_g = chunk_done & ((mrow >> 3) == grp)
 
-        @pl.when(jnp.any(sel_g))
-        def _flush(grp=grp, sel_g=sel_g):
-            for m in range(grp * 8, min(grp * 8 + 8, m_slots)):
-                sel = sel_g & (mrow == m)
-                for c, cur in enumerate((cur_x, cur_y, cur_z)):
-                    row = acc_ref[3 * m + c : 3 * m + c + 1, cols]
-                    acc_ref[3 * m + c : 3 * m + c + 1, cols] = (
-                        row + jnp.where(sel, cur, 0.0))
+            @pl.when(jnp.any(sel_g))
+            def _flush(grp=grp, sel_g=sel_g):
+                for m in range(grp * 8, min(grp * 8 + 8, m_slots)):
+                    sel = sel_g & (mrow == m)
+                    for c, cur in enumerate((cur_x, cur_y, cur_z)):
+                        row = acc_ref[3 * m + c : 3 * m + c + 1, cols]
+                        acc_ref[3 * m + c : 3 * m + c + 1, cols] = (
+                            row + jnp.where(sel, cur, 0.0))
+
+    if "flushflat" in ablate:
+        _flush_groups()
+    else:
+        pl.when(jnp.any(chunk_done))(_flush_groups)
 
     cur_x = jnp.where(chunk_done, 0.0, cur_x)
     cur_y = jnp.where(chunk_done, 0.0, cur_y)
@@ -784,11 +809,12 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, gttab_ref, ctab_ref,
         atab = jnp.concatenate([atab] * fuse, axis=0)
         if ttab is not None:
             ttab = jnp.concatenate([ttab] * fuse, axis=0)
-    elif (j_steps == 2 and "nodual" not in ablate and "cut_fetch" not in ablate
+    elif (j_steps >= 2 and "nodual" not in ablate and "cut_fetch" not in ablate
           and "vmajor" not in ablate):
-        # paired-fetch production path (j=2): both march steps' fetches in
-        # one gather against the twice-stacked cell table (_iterate)
-        ctab = jnp.concatenate([ctab] * 2, axis=0)
+        # speculative-fetch production path (j>=2): all j march steps'
+        # fetches in one gather against the j-times-stacked cell table
+        # (_iterate's speculative cell chain)
+        ctab = jnp.concatenate([ctab] * j_steps, axis=0)
 
     def _load(g):
         cs = slice(g * gw, (g + 1) * gw)

@@ -240,7 +240,9 @@ def _iterate(st, acc, lane, scal_ref, vpr_ref, table_ref, atab_ref, *,
     sdy_d = ny + uy
     sdz_d = nz + uz
     near0 = (jnp.abs(sdx_d) < 1e-8) & (jnp.abs(sdy_d) < 1e-8) & (jnp.abs(sdz_d) < 1e-8)
-    ndd = nx * dx + ny * dy + nz * dz
+    # == the re-dot of the flipped normal BITWISE: negation distributes
+    # exactly over fp mul/add/fma (see ops/shading_rows.py)
+    ndd = jnp.where(front, ddn, -ddn)
     sdx_d = jnp.where(near0, nx, sdx_d)
     sdy_d = jnp.where(near0, ny, sdy_d)
     sdz_d = jnp.where(near0, nz, sdz_d)
@@ -257,7 +259,7 @@ def _iterate(st, acc, lane, scal_ref, vpr_ref, table_ref, atab_ref, *,
 
     # refractive — NaN-faithful canRefract (shader.rchit:126-129)
     eta = jnp.where(front, 1.0 / fuzz, fuzz)
-    cos_t = -(dx * nx + dy * ny + dz * nz)
+    cos_t = -ndd  # == -(d . n_flipped) bitwise (commuted muls, same grouping)
     can_refract = (eta * jnp.sqrt(1.0 - cos_t * cos_t)) <= 1.0
     r0 = ((1.0 - eta) / (1.0 + eta)) ** 2
     om = 1.0 - cos_t

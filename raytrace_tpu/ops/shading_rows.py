@@ -17,13 +17,15 @@ from .megakernel import _norm3
 
 def shade_rows(ox, oy, oz, dx, dy, dz, t, seed,
                cenx, ceny, cenz, mat, tex, c0x, c0y, c0z, c1x, c1y, c1z,
-               fuzz, cut_sin=False):
+               fuzz, cut_sin=False, redot=False):
     """Returns (px_, py_, pz_, ax, ay, az, sdx, sdy, sdz, does_scatter,
     seed_h): hit point, albedo, un-normalized scatter direction, scatter
     flag, and the seed after the material's RNG draws (shader.rchit).
 
     ``cut_sin``: cost-probe only (scripts/grid_iterbench.py) — replaces the
     3 checker transcendentals with a same-dependency product; image invalid.
+    ``redot``: A/B switch — recompute the ndd / cos_t dots instead of the
+    sign-flip reuse (same bits either way; cost is the only observable).
     """
     px_ = ox + t * dx
     py_ = oy + t * dy
@@ -52,7 +54,15 @@ def shade_rows(ox, oy, oz, dx, dy, dz, t, seed,
     sdy_d = ny + uy
     sdz_d = nz + uz
     near0 = (jnp.abs(sdx_d) < 1e-8) & (jnp.abs(sdy_d) < 1e-8) & (jnp.abs(sdz_d) < 1e-8)
-    ndd = nx * dx + ny * dy + nz * dz
+    # ndd re-dots the FLIPPED normal with d, but negation distributes exactly
+    # over fp mul/add/fma (fma(-a,b,-c) == -fma(a,b,c); rounding is sign-
+    # symmetric), so ndd == sgn*ddn BITWISE — one select replaces a 5-op dot.
+    # Pinned bit-identical to the re-dot by tests/test_trace_golden.py +
+    # the grid==mega interpret parity suite.
+    if redot:
+        ndd = nx * dx + ny * dy + nz * dz
+    else:
+        ndd = jnp.where(front, ddn, -ddn)
     sdx_d = jnp.where(near0, nx, sdx_d)
     sdy_d = jnp.where(near0, ny, sdy_d)
     sdz_d = jnp.where(near0, nz, sdz_d)
@@ -68,7 +78,10 @@ def shade_rows(ox, oy, oz, dx, dy, dz, t, seed,
 
     # refractive — NaN-faithful canRefract (shader.rchit:126-129)
     eta = jnp.where(front, 1.0 / fuzz, fuzz)
-    cos_t = -(dx * nx + dy * ny + dz * nz)
+    if redot:
+        cos_t = -(dx * nx + dy * ny + dz * nz)
+    else:
+        cos_t = -ndd  # == -(d . n_flipped) bitwise (commuted muls, same grouping)
     can_refract = (eta * jnp.sqrt(1.0 - cos_t * cos_t)) <= 1.0
     r0 = ((1.0 - eta) / (1.0 + eta)) ** 2
     om = 1.0 - cos_t
