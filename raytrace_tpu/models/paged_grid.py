@@ -94,9 +94,14 @@ P_NSCZM = 14  # geom (8x16 macro) page count along z
 
 
 def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None,
-                     max_slots: int = 32, max_ab: int = 4):
+                     max_slots: int = 32, max_ab: int = 4, pad_slots: int = 0):
     """Build paged tables or return None when the scene doesn't fit
     (crowded fine cells / oversized page sphere lists / non-uniform field).
+
+    ``pad_slots``: raise n_slots to at least this (extra slots stay POISON —
+    guaranteed misses, image bits unchanged).  Row-sensitivity probe for the
+    march fetch: if padded tables time FLAT, per-trip gather cost is fixed-
+    cost-bound and slot-count reduction work is pointless (and vice versa).
     """
     centers = np.asarray(scene.centers, np.float32)
     radii = np.asarray(scene.radii, np.float32)
@@ -171,6 +176,7 @@ def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None
     start_pos = np.flatnonzero(cell_start)
     rank = np.arange(len(cell)) - np.repeat(start_pos, np.diff(np.r_[start_pos, len(cell)]))
     n_slots = int(rank.max()) + 1 if len(rank) else 1
+    n_slots = max(n_slots, pad_slots)
     if n_slots > max_slots:
         return None
     page = (ixs // F_AXIS) * nsc_z + (izs // F_AXIS_Z)  # 8x16 page
