@@ -100,33 +100,51 @@ class GridTables(NamedTuple):
     #                   present only when a FIELD sphere is textured; the
     #                   kernel then resolves tex/c1 by one extra gather for
     #                   all winners instead of the globals-only gttab chain.
+    slots4: Optional[np.ndarray] = None  # non-None marks a FOUR-value ctab
+    #                   with n_slots != 4 (coarse-pitch uniform scenes);
+    #                   shape (1, n_slots) carries the count the same way
+    #                   has_cy does for the 5-value layout.
 
 
 # gscal slot indices
 G_XLO, G_XHI, G_YLO, G_YHI, G_ZLO, G_ZHI = 0, 1, 2, 3, 4, 5
 G_CMINX, G_CMINZ, G_NCZ, G_CY, G_CMAXX, G_CMAXZ = 6, 7, 8, 9, 10, 11
+G_S, G_INVS = 12, 13  # cell pitch (world units per cell) and its reciprocal
 
 
-def build_grid(scene, table: np.ndarray) -> Optional[GridTables]:
+def build_grid(scene, table: np.ndarray, pitch: float = 1.0,
+               max_slots: int = MAX_N_SLOTS) -> Optional[GridTables]:
     """Build grid tables from a SceneArrays + its packed sphere table
     (pallas_intersect.sphere_table — source of the bit-exact kc column).
 
     Returns None when the scene doesn't fit the structure (too many large
     spheres, too many cells, crowded cells, non-uniform field height) — the
     caller falls back to the brute-force megakernel.
+
+    ``pitch``: cell size in world units.  The unit lattice (1.0) was tuned
+    when the fetch dominated; coarser cells trade march steps (each costing
+    a fixed-cost gather) for more candidate quadratics (cheap — 6.9% serial
+    share).  Powers of two keep ALL the kernel's lattice arithmetic exact
+    (x*0.5 / (c±0.5)*2 are exponent shifts), and for any pitch the
+    delta-enlarged registration absorbs DDA fp slop, so grid==mega
+    bit-identity is pitch-independent (tests/test_grid_pitch.py).
     """
     centers = np.asarray(scene.centers, np.float32)
     radii = np.asarray(scene.radii, np.float32)
+    s_pitch = np.float32(pitch)
     n = int(scene.n_spheres)
     if n == 0:
         return None
     kc = np.asarray(table[:, 3], np.float32)  # _C_KC column, f64-precomputed
 
     # eligibility: a sphere is grid-eligible when its delta-enlarged AABB
-    # spans <= 2 cells per axis, i.e. 2*(r+DELTA) <= 1; everything else goes
-    # to the brute-forced global table
+    # spans <= 2 cells per axis, i.e. 2*(r+DELTA) <= pitch; everything else
+    # goes to the brute-forced global table.  The absolute 0.5 cap keeps
+    # genuinely-large spheres (heroes, ground) global at coarse pitches too:
+    # promoting them into cells buys nothing (the globals loop is ~0.3%) and
+    # a y=1 hero would flip a uniform-height field to the 5-value layout.
     idx_all = np.arange(n)
-    small = radii[:n] <= 0.5 - DELTA
+    small = radii[:n] <= min(pitch, 1.0) / 2 - DELTA
     g_idx = idx_all[~small]
     s_idx = idx_all[small]
     if len(g_idx) > MAX_GLOBALS or len(s_idx) == 0:
@@ -146,14 +164,14 @@ def build_grid(scene, table: np.ndarray) -> Optional[GridTables]:
 
     cx, cz = centers[s_idx, 0], centers[s_idx, 2]
     r = radii[s_idx]
-    # half-integer lattice: cell c covers [c-0.5, c+0.5).  Per-sphere cell
-    # ranges of the delta-enlarged AABBs (same f32 expression the old
-    # per-sphere registration loop used):
+    # half-integer lattice at pitch s: cell c covers [(c-0.5)s, (c+0.5)s).
+    # Per-sphere cell ranges of the delta-enlarged AABBs (same f32
+    # expression the old per-sphere registration loop used; /1.0 is exact):
     rr = r + np.float32(DELTA)
-    ix0 = np.floor((cx - rr) + 0.5).astype(np.int64)
-    ix1 = np.floor((cx + rr) + 0.5).astype(np.int64)
-    iz0 = np.floor((cz - rr) + 0.5).astype(np.int64)
-    iz1 = np.floor((cz + rr) + 0.5).astype(np.int64)
+    ix0 = np.floor((cx - rr) / s_pitch + 0.5).astype(np.int64)
+    ix1 = np.floor((cx + rr) / s_pitch + 0.5).astype(np.int64)
+    iz0 = np.floor((cz - rr) / s_pitch + 0.5).astype(np.int64)
+    iz1 = np.floor((cz + rr) / s_pitch + 0.5).astype(np.int64)
 
     # No guard ring (round 3): the delta-enlarged registration already
     # absorbs every interior DDA boundary case, and a ray entering through
@@ -223,13 +241,13 @@ def build_grid(scene, table: np.ndarray) -> Optional[GridTables]:
                 cell_members[cell].append(si)
     maxc = max((len(m) for m in cell_members), default=0)
 
-    # slot count: the uniform-height fast path is fixed at 4 slots (the
-    # book scene's lattice guarantees it); general scenes size n_slots to
-    # the worst cell up to MAX_N_SLOTS, switching to the 5-value layout
-    # (which carries per-candidate cy) even when heights are uniform
-    if uniform_y and maxc <= N_SLOTS:
-        five, n_slots = False, N_SLOTS
-    elif maxc <= MAX_N_SLOTS:
+    # slot count: uniform-height scenes keep the 4-value layout (cy is a
+    # gscal scalar) with n_slots adapted to the worst cell (4 at the book
+    # scene's unit pitch; up to 8 at coarser pitches); varying heights use
+    # the 5-value layout (per-candidate cy), n_slots adaptive the same way
+    if uniform_y and maxc <= max_slots:
+        five, n_slots = False, max(N_SLOTS, maxc)
+    elif maxc <= max_slots:
         five, n_slots = True, max(N_SLOTS, maxc)
     else:
         return None  # crowded cell: grid not applicable
@@ -258,7 +276,8 @@ def build_grid(scene, table: np.ndarray) -> Optional[GridTables]:
         stride = -(-nv // 8) * 8
         per = (slots_cx, slots_cy, slots_cz, slots_kc, slots_id)
     else:
-        nv, stride = 4 * n_slots, 4 * n_slots
+        nv = 4 * n_slots
+        stride = -(-nv // 8) * 8  # == nv except n_slots in {5, 7}
         per = (slots_cx, slots_cz, slots_kc, slots_id)
     ctab = np.zeros((stride * cb, CELL_LANES), np.float32)
     for s in range(n_slots):
@@ -323,21 +342,25 @@ def build_grid(scene, table: np.ndarray) -> Optional[GridTables]:
     y_lo = np.float32((cy - radii[s_idx]).min() - DELTA)
     y_hi = np.float32((cy + radii[s_idx]).max() + DELTA)
     gscal = np.zeros((1, 16), np.float32)
-    gscal[0, G_XLO] = np.float32(cmin_x) - 0.5
-    gscal[0, G_XHI] = np.float32(cmax_x) + 0.5
+    gscal[0, G_XLO] = (np.float32(cmin_x) - 0.5) * s_pitch
+    gscal[0, G_XHI] = (np.float32(cmax_x) + 0.5) * s_pitch
     gscal[0, G_YLO] = y_lo
     gscal[0, G_YHI] = y_hi
-    gscal[0, G_ZLO] = np.float32(cmin_z) - 0.5
-    gscal[0, G_ZHI] = np.float32(cmax_z) + 0.5
+    gscal[0, G_ZLO] = (np.float32(cmin_z) - 0.5) * s_pitch
+    gscal[0, G_ZHI] = (np.float32(cmax_z) + 0.5) * s_pitch
     gscal[0, G_CMINX] = np.float32(cmin_x)
     gscal[0, G_CMINZ] = np.float32(cmin_z)
     gscal[0, G_NCZ] = np.float32(ncz)
     gscal[0, G_CY] = np.float32(cy[0])
     gscal[0, G_CMAXX] = np.float32(cmax_x)
     gscal[0, G_CMAXZ] = np.float32(cmax_z)
+    gscal[0, G_S] = s_pitch
+    gscal[0, G_INVS] = np.float32(1.0) / s_pitch
 
     return GridTables(ctab=ctab, atab=atab, gtab=gtab, gttab=gttab,
                       gscal=gscal,
                       has_cy=np.zeros((1, n_slots), np.float32) if five
                       else None,
-                      ttab=ttab)
+                      ttab=ttab,
+                      slots4=(np.zeros((1, n_slots), np.float32)
+                              if not five and n_slots != N_SLOTS else None))

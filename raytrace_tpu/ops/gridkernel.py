@@ -68,8 +68,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import config
-from ..models.grid import (G_CMAXX, G_CMAXZ, G_CMINX, G_CMINZ, G_CY, G_NCZ,
-                           G_XHI, G_XLO, G_YHI, G_YLO, G_ZHI, G_ZLO, N_SLOTS)
+from ..models.grid import (G_CMAXX, G_CMAXZ, G_CMINX, G_CMINZ, G_CY, G_INVS,
+                           G_NCZ, G_S, G_XHI, G_XLO, G_YHI, G_YLO, G_ZHI,
+                           G_ZLO, N_SLOTS)
 from . import rng as rngops
 from .intersect import BIG
 from .megakernel import (_SKY, S_NCALLS, S_NUMBER, S_OFFX, S_SEEDY0, S_SPP,
@@ -306,6 +307,11 @@ def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
     cmaxz = gscal_ref[0, G_CMAXZ]
     ncz = gscal_ref[0, G_NCZ]
     cy_u = gscal_ref[0, G_CY]
+    # cell pitch: every scaling op is exact at the default 1.0 (x*1.0 == x)
+    # and at power-of-two pitches (exponent shifts), so the pitch-1 program's
+    # image bits are unchanged by this generality (models/grid.py contract)
+    s_ = gscal_ref[0, G_S]
+    inv_s = gscal_ref[0, G_INVS]
 
     a = dx * dx + dy * dy + dz * dz
     od = ox * dx + oy * dy + oz * dz
@@ -421,10 +427,10 @@ def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
 
         px0 = ox + t_start * dx
         pz0 = oz + t_start * dz
-        icx_n = jnp.clip(jnp.floor(px0 + 0.5), cminx, cmaxx)
-        icz_n = jnp.clip(jnp.floor(pz0 + 0.5), cminz, cmaxz)
-        bx = icx_n + jnp.where(dx >= 0, 0.5, -0.5)
-        bz = icz_n + jnp.where(dz >= 0, 0.5, -0.5)
+        icx_n = jnp.clip(jnp.floor(px0 * inv_s + 0.5), cminx, cmaxx)
+        icz_n = jnp.clip(jnp.floor(pz0 * inv_s + 0.5), cminz, cmaxz)
+        bx = (icx_n + jnp.where(dx >= 0, 0.5, -0.5)) * s_
+        bz = (icz_n + jnp.where(dz >= 0, 0.5, -0.5)) * s_
         t_nx_n = jnp.where(dx == 0.0, BIG, (bx - ox) * inv_x)
         t_nz_n = jnp.where(dz == 0.0, BIG, (bz - oz) * inv_z)
 
@@ -438,8 +444,8 @@ def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
     # ---- DDA march: j_steps cells ------------------------------------------
     step_x = jnp.where(dx >= 0, 1, -1)
     step_z = jnp.where(dz >= 0, 1, -1)
-    dt_x = jnp.where(dx == 0.0, BIG, jnp.abs(inv_x))
-    dt_z = jnp.where(dz == 0.0, BIG, jnp.abs(inv_z))
+    dt_x = jnp.where(dx == 0.0, BIG, jnp.abs(inv_x) * s_)
+    dt_z = jnp.where(dz == 0.0, BIG, jnp.abs(inv_z) * s_)
 
     def _cid(x, z):
         return ((x.astype(jnp.float32) - cminx) * ncz
@@ -456,11 +462,12 @@ def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
     dual = (j_steps >= 2 and "nodual" not in ablate and not cut("fetch")
             and not vmajor and fuse == 1)
     # slot layout: 4 values (cx, cz, kc, id) with cy a gscal scalar for
-    # uniform-field-height scenes; 5 values (cx, cy, cz, kc, id) in an
-    # 8-aligned stride otherwise (models/grid.py GridTables.has_cy)
+    # uniform-field-height scenes; 5 values (cx, cy, cz, kc, id) otherwise
+    # (models/grid.py GridTables.has_cy).  Stride is 8-aligned either way
+    # (block starts must be sublane-aligned for the chunk lane-concat).
     w = 5 if five else 4
     nv = w * n_slots
-    stride = -(-nv // 8) * 8 if five else nv
+    stride = -(-nv // 8) * 8
 
     def _slot(vals, s):
         """(cx, cy, cz, kc, id) rows of slot s under either layout."""
@@ -1007,7 +1014,7 @@ def grid_megakernel_step(scal, vpr, gscal, gtab, gttab, ctab, atab, fstate,
     n_pad = fstate.shape[1]
     rf = f_rows(m_slots)
     grid = n_pad // TILE
-    c_stride = (-(-5 * n_slots // 8) * 8) if five else 4 * n_slots
+    c_stride = -(-(5 if five else 4) * n_slots // 8) * 8
     cb = ctab.shape[0] // c_stride
     ab = atab.shape[0] // 8  # 8-row stride per block: 5 attr values
     #                          (mat, c0.rgb, attr) + 3 alignment pad rows

@@ -96,19 +96,27 @@ class ViewportArrays(NamedTuple):
     size: jnp.ndarray  # [2] f32 (width, height) — shader.rgen:42
 
 
-def prepare_scene(scene: SceneArrays) -> DeviceScene:
-    """Host-side scene prep: SoA -> device layout with matmul precomputes."""
+def prepare_scene(scene: SceneArrays, grid_pitch: float = None) -> DeviceScene:
+    """Host-side scene prep: SoA -> device layout with matmul precomputes.
+
+    ``grid_pitch`` (or env RAYTRACE_GRID_PITCH): flat-grid cell size in
+    world units; see models/grid.py build_grid.
+    """
+    import os
+
     from ..models.grid import build_grid
     from ..models.paged_grid import build_paged_grid
     from .pallas_intersect import sphere_table
 
+    if grid_pitch is None:
+        grid_pitch = float(os.environ.get("RAYTRACE_GRID_PITCH", "1.0"))
     centers = np.asarray(scene.centers, np.float32)
     radii = np.asarray(scene.radii, np.float32)
     n = int(scene.n_spheres)
     s = centers.shape[0]
     valid = np.arange(s) < n
     table = sphere_table(scene)
-    grid = build_grid(scene, table)
+    grid = build_grid(scene, table, pitch=grid_pitch)
     paged = None if grid is not None else build_paged_grid(scene, table)
     return DeviceScene(
         centers=centers,
@@ -530,8 +538,9 @@ def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
                 skip_tmax=skip_tmax, ablate=ablate, interpret=interpret,
                 unroll=unroll, fuse=fuse, groups=groups,
                 five=g.has_cy is not None,
-                n_slots=(mk.N_SLOTS if g.has_cy is None
-                         else g.has_cy.shape[1]),
+                n_slots=(g.has_cy.shape[1] if g.has_cy is not None
+                         else g.slots4.shape[1] if g.slots4 is not None
+                         else mk.N_SLOTS),
             )
             return (f2, u2, it + k_steps)
     else:
