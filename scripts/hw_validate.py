@@ -93,3 +93,17 @@ b, _ = render(dpt, "paged", 640, 360, 4)
 print("paged-tex diff-frac:",
       float((np.abs(a - b).max(axis=2) > 0).mean()), flush=True)
 print("HW VALIDATION (EXTENDED) DONE", flush=True)
+
+# 6) coarse-pitch grid on hardware: pitch-2 Mosaic lowering (cb=1, 8-slot
+#    four-value layout) must be bit-identical to the unit-pitch program
+from raytrace_tpu.models.grid import build_grid
+from raytrace_tpu.ops.pallas_intersect import sphere_table
+
+book_sc = generate_random_scene(0.0)
+g2 = build_grid(book_sc, np.asarray(sphere_table(book_sc)), pitch=2.0)
+ds_p2 = book._replace(grid=g2)
+a, _ = render(book, "grid", 640, 360, 16)
+b, _ = render(ds_p2, "grid", 640, 360, 16)
+print("pitch2 grid-vs-pitch1 diff-frac:",
+      float((np.abs(a - b).max(axis=2) > 0).mean()), flush=True)
+print("HW VALIDATION (PITCH) DONE", flush=True)
