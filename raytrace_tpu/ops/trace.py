@@ -109,14 +109,23 @@ def prepare_scene(scene: SceneArrays, grid_pitch: float = None) -> DeviceScene:
     from .pallas_intersect import sphere_table
 
     if grid_pitch is None:
-        grid_pitch = float(os.environ.get("RAYTRACE_GRID_PITCH", "1.0"))
+        grid_pitch = os.environ.get("RAYTRACE_GRID_PITCH", "1.0")
     centers = np.asarray(scene.centers, np.float32)
     radii = np.asarray(scene.radii, np.float32)
     n = int(scene.n_spheres)
     s = centers.shape[0]
     valid = np.arange(s) < n
     table = sphere_table(scene)
-    grid = build_grid(scene, table, pitch=grid_pitch)
+    if grid_pitch == "auto":
+        # coarse-first: pitch 2 halves march steps when the scene fits its
+        # slot budget (uniform heights, <= 8 four-value slots) and never
+        # loses capability — anything that doesn't build falls back to the
+        # unit lattice, then to paged/brute force as before
+        grid = build_grid(scene, table, pitch=2.0)
+        if grid is None or grid.has_cy is not None:
+            grid = build_grid(scene, table, pitch=1.0)
+    else:
+        grid = build_grid(scene, table, pitch=float(grid_pitch))
     paged = None if grid is not None else build_paged_grid(scene, table)
     return DeviceScene(
         centers=centers,

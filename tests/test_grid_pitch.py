@@ -49,6 +49,21 @@ def test_pitch_invariance_bitwise(book_scene):
         assert np.array_equal(base, out), f"pitch {pitch} diverged"
 
 
+def test_auto_pitch_mode(book_scene):
+    """prepare_scene(grid_pitch="auto"): coarse-first with fallback."""
+    from raytrace_tpu.models.scene import random_sphere_field
+
+    ds = prepare_scene(book_scene, grid_pitch="auto")
+    assert ds.grid is not None and ds.grid.slots4 is not None  # pitch 2
+    assert ds.grid.ctab.shape == (32, 128)
+    # varied-height scene: auto falls back to the unit-pitch five layout
+    sc = random_sphere_field(250, seed=3, extent=11.0, y_range=(0.2, 2.5))
+    dv = prepare_scene(sc, grid_pitch="auto")
+    dv1 = prepare_scene(sc, grid_pitch=1.0)
+    assert dv.grid is not None and dv.grid.has_cy is not None
+    assert dv.grid.ctab.shape == dv1.grid.ctab.shape
+
+
 def test_pitch2_builder_shapes(book_scene):
     """Pitch 2 on the book scene: 8 slots, ONE fetch block (no block
     selects), heroes/ground stay global (the 0.5 eligibility cap)."""
