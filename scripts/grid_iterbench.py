@@ -43,7 +43,9 @@ VARIANTS = os.environ.get(
     "base,cut_fetch,cut_resolve,cut_quad,cut_shade,cut_tea,cut_camera,"
     "cut_globals,cut_init").split(",")
 
-ds = prepare_scene(generate_random_scene(0.0))
+# PITCH env: attribute the iteration at a coarse-pitch operating point too
+ds = prepare_scene(generate_random_scene(0.0),
+                   grid_pitch=os.environ.get("PITCH", "1.0"))
 g = ds.grid
 vp = viewport_arrays(reference_camera(), W, H)
 
@@ -73,12 +75,17 @@ def _run_device(f, u, *, ablate, invokes):
     # the invocation loop lives ON DEVICE: one relay dispatch per round —
     # host-loop versions measured 2x round-to-round jitter from per-call
     # dispatch latency through the axon relay
+    five = g.has_cy is not None
+    n_slots = (g.has_cy.shape[1] if five
+               else g.slots4.shape[1] if g.slots4 is not None else gk.N_SLOTS)
+
     def body(_, st):
         f, u = st
         return gk.grid_megakernel_step(
             scal, vpr, gscal, gtab, gttab, ctab, atab, f, u,
             m_slots=M, n_lanes=n, p_total=p_total, width=W,
-            max_depth=50, skip_tmax=True, ablate=ablate)
+            max_depth=50, skip_tmax=True, ablate=ablate,
+            five=five, n_slots=n_slots)
 
     return jax.lax.fori_loop(0, invokes, body, (f, u))
 
