@@ -19,7 +19,9 @@ from raytrace_tpu.config import RenderConfig
 from raytrace_tpu.ops import gridkernel as gk
 from raytrace_tpu.runtime.renderer import Renderer
 
-W, H, SPP = 1920, 1080, int(os.environ.get("SWEEP_SPP", 200))
+W = int(os.environ.get("SWEEP_W", 1920))
+H = int(os.environ.get("SWEEP_H", 1080))
+SPP = int(os.environ.get("SWEEP_SPP", 200))
 ROUNDS = int(os.environ.get("SWEEP_ROUNDS", 5))
 VARIANTS = os.environ.get(
     "ABLATE_VARIANTS",

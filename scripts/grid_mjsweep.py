@@ -25,7 +25,8 @@ from raytrace_tpu.ops import gridkernel as gk
 from raytrace_tpu.ops.trace import prepare_scene, render_band, viewport_arrays
 from raytrace_tpu.runtime.renderer import reference_camera
 
-W, H = 1920, 1080
+W = int(os.environ.get("SWEEP_W", 1920))
+H = int(os.environ.get("SWEEP_H", 1080))
 SPP = int(os.environ.get("SWEEP_SPP", 400))
 ROUNDS = int(os.environ.get("SWEEP_ROUNDS", 3))
 CONFIGS = [
