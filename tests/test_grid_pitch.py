@@ -74,3 +74,27 @@ def test_pitch2_builder_shapes(book_scene):
     assert g.ctab.shape == (32, 128)  # stride 32 x cb 1
     # ground + 3 heroes global (ids 0..3), plus boundary-line spills
     assert list(g.gtab[:4, 4]) == [0.0, 1.0, 2.0, 3.0]
+
+
+def test_pitch2_call_merge_exact(book_scene):
+    """In-kernel call merge at pitch 2 == host loop at pitch 2 (the bench's
+    stage-7 configuration: RAYTRACE_GRID_PITCH=auto + calls_per_exec).
+    Depth 1 avoids bounce-chain fp chaos, so equality is exact even on
+    XLA:CPU (same form as test_grid.test_call_merge_matches_host_loop)."""
+    sc = book_scene
+    g = build_grid(sc, np.asarray(sphere_table(sc)), pitch=2.0)
+    ds = prepare_scene(sc)._replace(grid=g)
+    vp = viewport_arrays(reference_camera(), W, H)
+
+    def call(spp, number, accum=None, n_calls=None, spp_last=None):
+        return render_band_core(
+            ds, vp, band_h=H, width=W, y0=np.int32(0), seed_y0=np.int32(0),
+            offset_x=np.int32(0), spp=np.int32(spp), number=np.uint32(number),
+            accum_init=accum, max_depth=1, backend="grid",
+            pixels_per_lane=2, skip_tmax=True,
+            n_calls=None if n_calls is None else np.int32(n_calls),
+            spp_last=None if spp_last is None else np.int32(spp_last))
+
+    a = np.asarray(call(1, 1, accum=np.asarray(call(1, 0))))
+    b = np.asarray(call(1, 0, n_calls=2, spp_last=1))
+    assert np.array_equal(a, b)
