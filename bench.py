@@ -61,7 +61,7 @@ def main() -> int:
             "value": -1, "unit": "s", "vs_baseline": -1,
             "error": err,
             "note": "infrastructure failure, not a regression — the last "
-                    "completed run of this benchmark measured 125.8 s "
+                    "completed run of this benchmark measured 115.0 s "
                     "(docs/PERFORMANCE.md round-3 trajectory)",
         }), flush=True)  # os._exit skips stdio flushing
         os._exit(1)  # daemon thread may be stuck inside the backend

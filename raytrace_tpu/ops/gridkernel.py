@@ -82,8 +82,12 @@ from .shading_rows import shade_rows
 # [1, TILE]: at TILE=1024 each op is a single (8,128)-packed vreg and the
 # VPU sits idle on dependency-chain latency (measured: duplicating whole
 # gather sections cost ~0%).  Wider tiles issue TILE/1024 vregs per op,
-# hiding latency behind throughput.
-TILE = 4096
+# hiding latency behind throughput.  RAYTRACE_GRID_TILE overrides for
+# cross-process A/Bs (TILE is read at trace time, so in-process sweeps
+# would silently reuse the first compiled program — CLAUDE.md).
+import os as _os
+
+TILE = int(_os.environ.get("RAYTRACE_GRID_TILE", 4096))
 K_STEPS = 40  # wavefront iterations per kernel invocation: amortizes the
 # per-invocation state+acc DMA (~14 MB each way at M=64; r3 sweep: K=40
 # beats K=10 by 8% at j=2)
