@@ -57,6 +57,32 @@ U_CELL, U_LANE0 = 6, 7
 U_ROWS = 8  # this kernel's own u32 row count — NOT gridkernel's (whose
 # call-merge/fresh-seed rows 8-11 don't exist here; an aliased output must
 # write every row it declares, so the row counts must match the writes)
+# Carried winner attributes (CARRY mode, the production default): any lane
+# whose winner improved during a march step got it from the page being
+# walked RIGHT THEN, so its attr values are fetched in a small box loop
+# immediately after the quadratics (mask = "winner updated this cell" —
+# usually empty or a 1-trip box) and carried in state rows until shading.
+# This deletes the seg_done-time winner-resolution page loop, which walked
+# its own 2-D boxes per chunk and measured 41-45% serial share
+# (scripts/paged_iterbench.py).  Attr VALUES pass through the same table
+# either way, so images are bit-identical to the legacy resolve
+# (tests/test_paged.py pins it).  CARRY=False keeps the legacy loop
+# compiled for interleaved A/Bs (read at call time by the renderer and
+# passed as static grid_steps[2] — module globals read at trace time would
+# not key the jit cache; CLAUDE.md).
+CARRY = True
+
+
+def n_carry(five: bool, textured: bool) -> int:
+    """Carried attr rows: (mat, c0.rgb, attr) + center-y (five layout)
+    + (tex, c1.rgb) (textured fields)."""
+    return (6 if five else 5) + (4 if textured else 0)
+
+
+def pf_rows(m_slots: int, nc: int = 0) -> int:
+    """f32 state rows incl. ``nc`` carried attr rows after the acc slots."""
+    r = R_ACC + 3 * m_slots + nc
+    return -(-r // 8) * 8
 K_STEPS = 5  # rebucket interval at the 32k-lane reference point: K=5/10/15
 # measured 237/242/253 ns/sample at 1080p on the 100k scene
 # (scripts/paged_ksweep.py) — tighter sorts keep the per-chunk page boxes
@@ -147,13 +173,39 @@ def _page_fetch(tab_ref, sx, sz, nscz_i, fc, masked, *, n_rows, poison_rows):
     return jnp.concatenate(chunks, axis=1)  # [n_rows, T]
 
 
+def _ab_select(at, lid, *, ab, five, textured):
+    """Resolve the ``ab``-block attr layout to per-lane value rows.
+
+    ``at`` [na*ab, T] as fetched (row v*ab + b = value v, block b); ``lid``
+    [1, T] i32 page-local sphere id.  Returns the na rows in carried order:
+    (mat, c0x, c0y, c0z, fuzz[, wcy][, tex, c1x, c1y, c1z])."""
+    n_base = 6 if five else 5
+    t0 = n_base * ab
+    if ab > 1:
+        hi = lid >> 7
+        vals = [at[v * ab : v * ab + 1, :] for v in range(n_base)]
+        ft = [at[t0 + v * ab : t0 + v * ab + 1, :]
+              for v in range(4)] if textured else []
+        for b in range(1, ab):
+            sel = hi == b
+            vals = [jnp.where(sel, at[v * ab + b : v * ab + b + 1, :], vals[v])
+                    for v in range(n_base)]
+            ft = [jnp.where(sel, at[t0 + v * ab + b : t0 + v * ab + b + 1, :],
+                            ft[v]) for v in range(len(ft))]
+        return vals + ft
+    vals = [at[v : v + 1, :] for v in range(n_base)]
+    ft = [at[t0 + v : t0 + v + 1, :] for v in range(4)] if textured else []
+    return vals + ft
+
+
 def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
              attrs_ref, *, m_slots, n_lanes, p_total, width, max_depth,
              tmin, tmax, skip_tmax, n_slots, ab, ablate, five=False,
-             textured=False):
+             textured=False, carry=True):
     (ox, oy, oz, dx, dy, dz, fx, fy, tx_, ty_, tz_,
      t_b, t_end, t_nx, t_nz, bkey, wcx, wcz, cr_, cg_, cb2_,
-     seed, mrow, sidx, depth, alive_i, march_i, cell, lane0) = st
+     seed, mrow, sidx, depth, alive_i, march_i, cell, lane0) = st[:29]
+    att = st[29:]
     alive = alive_i != 0
     marching = march_i != 0
 
@@ -271,6 +323,7 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
     # can rebuild the 2-D box for its own page loop with static shifts.
     # Max value (63,31,511) = 2^20-1 < _TAG, exact in f32.
     pkey = (sxm * 32 + szm).astype(jnp.float32) * np.float32(512.0)
+    upd_any = None
     for s in range(n_slots):
         b0 = w * s
         s_cy = vals[b0 + 1 : b0 + 2, :] if five else cy_u
@@ -287,6 +340,31 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
         bkey = jnp.where(upd, pkey + vals[b0 + w - 1 : b0 + w, :], bkey)
         wcx = jnp.where(upd, vals[b0 : b0 + 1, :], wcx)
         wcz = jnp.where(upd, vals[b0 + w - 3 : b0 + w - 2, :], wcz)
+        upd_any = upd if upd_any is None else (upd_any | upd)
+
+    na = n_carry(five, textured)
+    if carry:
+        # in-march winner-attr fetch (CARRY): a lane whose winner improved
+        # in THIS cell got it from the page just walked — bkey's page ==
+        # (sxm, szm) by construction — so fetch its na attr values now, in
+        # a box loop masked by upd_any.  Winners improve ~once per segment
+        # while cells march many times, so most chunks' boxes are EMPTY
+        # (zero trips: the masked min/max collapse nx*nz to 0) and the rest
+        # are nearly always a single page.  The fetched values replace the
+        # carried rows; non-updated lanes keep theirs.
+        lid_new = bkey.astype(jnp.int32) & 511
+        amask = marching if freeze else upd_any
+        # (freeze probes mask by `marching` — upd_any dies out once t_b
+        # saturates under a frozen march, so this upper-bounds the loop's
+        # real share at the march's own trip count)
+        if cut("resolve"):
+            at2 = jax.lax.broadcast_in_dim(bkey, (na * ab, bkey.shape[1]),
+                                           (0, 1))
+        else:
+            at2 = _page_fetch(attrs_ref, sxm, szm, nsczm_i, lid_new & 127,
+                              amask, n_rows=na * ab, poison_rows=None)
+        vnew = _ab_select(at2, lid_new, ab=ab, five=five, textured=textured)
+        att = tuple(jnp.where(upd_any, v, a) for v, a in zip(vnew, att))
     t_exit = jnp.minimum(t_nx, t_nz)
     cont = marching & (t_exit < t_b) & (t_exit < t_end)
     cross_x = t_nx <= t_nz
@@ -314,54 +392,37 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
     seg_done = alive & ~marching
     hit = t_b < BIG
 
-    # ---- winner resolution: paged attrs + gtab selects ----------------------
+    # ---- winner resolution -------------------------------------------------
     is_direct = bkey >= _TAG
-    bkey_i = bkey.astype(jnp.int32)
-    sx_w = bkey_i >> 14
-    sz_w = (bkey_i >> 9) & 31
-    lid = bkey_i & 511
-    want = seg_done & hit & ~is_direct
-    if freeze:
-        # nothing ever terminates under freeze, so the real `want` mask is
-        # empty and the attrs fetch loop would run ZERO trips; probe it at
-        # the march's own (realistic, frozen) page assignment instead —
-        # independent of upstream cut variants, so trips match across them
-        sx_w, sz_w, lid, want = sxm, szm, fc, marching
-    # attr value sets: (mat, c0.rgb, attr) + center y (five layout)
-    # + (tex, c1.rgb) when field spheres are textured
-    na = (6 if five else 5) + (4 if textured else 0)
-    t0 = (6 if five else 5) * ab  # first tex row (textured layout)
-    if cut("resolve"):
-        at = jax.lax.broadcast_in_dim(bkey, (na * ab, bkey.shape[1]), (0, 1))
+    if carry:
+        # grid winners' attrs were fetched at update time and ride the
+        # carried state rows — nothing to fetch here
+        mat, c0x, c0y, c0z, fuzz = att[0], att[1], att[2], att[3], att[4]
+        wcy = att[5] if five else None
+        ft = list(att[na - 4 : na]) if textured else None
     else:
-        at = _page_fetch(attrs_ref, sx_w, sz_w, nsczm_i, lid & 127, want,
-                         n_rows=na * ab, poison_rows=None)
-    if ab > 1:
-        hi = lid >> 7
-        mat = at[0:1, :]
-        c0x, c0y, c0z = at[ab : ab + 1, :], at[2 * ab : 2 * ab + 1, :], at[3 * ab : 3 * ab + 1, :]
-        fuzz = at[4 * ab : 4 * ab + 1, :]
-        wcy = at[5 * ab : 5 * ab + 1, :] if five else None
-        ft = [at[t0 + v * ab : t0 + v * ab + 1, :]
-              for v in range(4)] if textured else None
-        for b in range(1, ab):
-            sel = hi == b
-            mat = jnp.where(sel, at[b : b + 1, :], mat)
-            c0x = jnp.where(sel, at[ab + b : ab + b + 1, :], c0x)
-            c0y = jnp.where(sel, at[2 * ab + b : 2 * ab + b + 1, :], c0y)
-            c0z = jnp.where(sel, at[3 * ab + b : 3 * ab + b + 1, :], c0z)
-            fuzz = jnp.where(sel, at[4 * ab + b : 4 * ab + b + 1, :], fuzz)
-            if five:
-                wcy = jnp.where(sel, at[5 * ab + b : 5 * ab + b + 1, :], wcy)
-            if textured:
-                ft = [jnp.where(sel, at[t0 + v * ab + b : t0 + v * ab + b + 1, :],
-                                ft[v]) for v in range(4)]
-    else:
-        mat = at[0:1, :]
-        c0x, c0y, c0z = at[1:2, :], at[2:3, :], at[3:4, :]
-        fuzz = at[4:5, :]
-        wcy = at[5:6, :] if five else None
-        ft = [at[t0 + v : t0 + v + 1, :] for v in range(4)] if textured else None
+        # legacy resolve (CARRY=False A/B reference): walk the 2-D box of
+        # the chunk's WINNER pages at seg_done time
+        bkey_i = bkey.astype(jnp.int32)
+        sx_w = bkey_i >> 14
+        sz_w = (bkey_i >> 9) & 31
+        lid = bkey_i & 511
+        want = seg_done & hit & ~is_direct
+        if freeze:
+            # nothing ever terminates under freeze, so the real `want` mask
+            # is empty and the attrs fetch loop would run ZERO trips; probe
+            # it at the march's own (realistic, frozen) page assignment
+            sx_w, sz_w, lid, want = sxm, szm, fc, marching
+        if cut("resolve"):
+            at = jax.lax.broadcast_in_dim(bkey, (na * ab, bkey.shape[1]),
+                                          (0, 1))
+        else:
+            at = _page_fetch(attrs_ref, sx_w, sz_w, nsczm_i, lid & 127, want,
+                             n_rows=na * ab, poison_rows=None)
+        vres = _ab_select(at, lid, ab=ab, five=five, textured=textured)
+        mat, c0x, c0y, c0z, fuzz = vres[0], vres[1], vres[2], vres[3], vres[4]
+        wcy = vres[5] if five else None
+        ft = vres[na - 4 : na] if textured else None
 
     # globals: center/tex/c1/mat/c0/attr from the tiny SMEM table
     bidx_f = jnp.where(is_direct, bkey - _TAG, np.float32(-1.0))
@@ -493,13 +554,17 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
         marching.astype(jnp.int32),
         cell,
         lane0,
+        *att,
     )
 
 
 def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, attrs_ref,
             fin_ref, uin_ref, fout_ref, uout_ref, acc_ref, *, m_slots,
             n_lanes, p_total, width, max_depth, tmin, tmax, k_steps,
-            n_slots, ab, skip_tmax, ablate, five=False, textured=False):
+            n_slots, ab, skip_tmax, ablate, five=False, textured=False,
+            carry=True):
+    a0 = R_ACC + 3 * m_slots  # carried attr rows live after the acc slots
+    nc = n_carry(five, textured) if carry else 0
     st = (
         *_vec3(fin_ref, R_O),
         *_vec3(fin_ref, R_D),
@@ -522,6 +587,7 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, attrs_ref,
         (uin_ref[U_MARCH : U_MARCH + 1, :] != 0).astype(jnp.int32),
         uin_ref[U_CELL : U_CELL + 1, :].astype(jnp.int32),
         uin_ref[U_LANE0 : U_LANE0 + 1, :].astype(jnp.int32),
+        *(fin_ref[a0 + i : a0 + i + 1, :] for i in range(nc)),
     )
     acc_ref[:, :] = fin_ref[R_ACC : R_ACC + 3 * m_slots, :]
 
@@ -531,7 +597,7 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, attrs_ref,
         attrs_ref=attrs_ref, m_slots=m_slots, n_lanes=n_lanes,
         p_total=p_total, width=width, max_depth=max_depth, tmin=tmin,
         tmax=tmax, skip_tmax=skip_tmax, n_slots=n_slots, ab=ab,
-        ablate=ablate, five=five, textured=textured,
+        ablate=ablate, five=five, textured=textured, carry=carry,
     )
 
     def body(_, st):
@@ -541,14 +607,16 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, attrs_ref,
 
     (ox, oy, oz, dx, dy, dz, fx, fy, tx_, ty_, tz_,
      t_b, t_end, t_nx, t_nz, bkey, wcx, wcz, cur_x, cur_y, cur_z,
-     seed, mrow, sidx, depth, alive, march, cell, lane0) = st
+     seed, mrow, sidx, depth, alive, march, cell, lane0) = st[:29]
     for i, v in enumerate((ox, oy, oz, dx, dy, dz, fx, fy, tx_, ty_, tz_,
                            t_b, t_end, t_nx, t_nz, bkey, wcx, wcz, cur_x,
                            cur_y, cur_z)):
         fout_ref[i : i + 1, :] = v
     fout_ref[R_ACC : R_ACC + 3 * m_slots, :] = acc_ref[:, :]
-    rf = f_rows(m_slots)
-    tail0 = R_ACC + 3 * m_slots
+    for i in range(nc):
+        fout_ref[a0 + i : a0 + i + 1, :] = st[29 + i]
+    rf = pf_rows(m_slots, nc)
+    tail0 = a0 + nc
     if tail0 < rf:
         fout_ref[tail0:rf, :] = fin_ref[tail0:rf, :]
 
@@ -566,17 +634,17 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, attrs_ref,
     jax.jit,
     static_argnames=(
         "m_slots", "n_lanes", "p_total", "width", "max_depth", "k_steps",
-        "skip_tmax", "ablate", "interpret", "five", "textured",
+        "skip_tmax", "ablate", "interpret", "five", "textured", "carry",
     ),
 )
 def paged_megakernel_step(scal, vpr, gscal, gtab, geom, attrs, fstate,
                           ustate, *, m_slots, n_lanes, p_total, width,
                           max_depth, k_steps=K_STEPS, skip_tmax=False,
                           ablate=(), interpret=False, five=False,
-                          textured=False):
+                          textured=False, carry=True):
     """``k_steps`` paged-grid wavefront iterations over all lanes."""
     n_pad = fstate.shape[1]
-    rf = f_rows(m_slots)
+    rf = pf_rows(m_slots, n_carry(five, textured) if carry else 0)
     grid = n_pad // TILE
     n_slots = geom.shape[1] // (5 if five else 4)
     ab = attrs.shape[1] // ((6 if five else 5) + (4 if textured else 0))
@@ -585,7 +653,7 @@ def paged_megakernel_step(scal, vpr, gscal, gtab, geom, attrs, fstate,
         width=width, max_depth=max_depth, tmin=np.float32(config.T_MIN),
         tmax=np.float32(config.MAX_RAY_COLLISION_DISTANCE), k_steps=k_steps,
         n_slots=n_slots, ab=ab, skip_tmax=skip_tmax,
-        ablate=frozenset(ablate), five=five, textured=textured,
+        ablate=frozenset(ablate), five=five, textured=textured, carry=carry,
     )
     return pl.pallas_call(
         kernel,

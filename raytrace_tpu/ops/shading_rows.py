@@ -82,13 +82,17 @@ def shade_rows(ox, oy, oz, dx, dy, dz, t, seed,
         cos_t = -(dx * nx + dy * ny + dz * nz)
     else:
         cos_t = -ndd  # == -(d . n_flipped) bitwise (commuted muls, same grouping)
-    can_refract = (eta * jnp.sqrt(1.0 - cos_t * cos_t)) <= 1.0
+    # 1 - cos_t^2 == 1 - ndd^2 BITWISE (f32 mul is sign-symmetric:
+    # (-x)*(-x) == x*x exactly), so canRefract's sin^2 term and the
+    # refraction k share one value — one mul+sub instead of two
+    omc2 = 1.0 - ndd * ndd
+    can_refract = (eta * jnp.sqrt(omc2)) <= 1.0
     r0 = ((1.0 - eta) / (1.0 + eta)) ** 2
     om = 1.0 - cos_t
     om2 = om * om
     reflectance = r0 + (1.0 - r0) * om2 * om2 * om
     does_refract = can_refract & (reflectance < refr_rand)
-    k = 1.0 - eta * eta * (1.0 - ndd * ndd)
+    k = 1.0 - eta * eta * omc2
     sqk = jnp.sqrt(jnp.maximum(k, 0.0))
     fx_r = eta * dx - (eta * ndd + sqk) * nx
     fy_r = eta * dy - (eta * ndd + sqk) * ny

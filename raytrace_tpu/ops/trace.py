@@ -312,7 +312,9 @@ def render_band_core(
             # trace time would not key the jit cache and in-process sweeps
             # would silently reuse the first program; see CLAUDE.md)
             k_steps=None if grid_steps is None else grid_steps[1],
-            morton=True if grid_steps is None else bool(grid_steps[3]))
+            morton=True if grid_steps is None else bool(grid_steps[3]),
+            # carried winner attrs (pagedkernel.CARRY) ride grid_steps[2]
+            carry=True if grid_steps is None else bool(grid_steps[2]))
 
     p_total = band_h * width
     m_slots = max(1, min(pixels_per_lane, p_total))
@@ -588,7 +590,8 @@ from .megakernel import (S_NUMBER as mega_S_NUMBER, S_OFFX as mega_S_OFFX,
 
 def _render_band_paged(scene, vp, *, band_h, width, y0, seed_y0, offset_x,
                        spp, number, accum_init, max_depth, pixels_per_lane,
-                       skip_tmax, return_iters, k_steps=None, morton=True):
+                       skip_tmax, return_iters, k_steps=None, morton=True,
+                       carry=True):
     """Paged-grid driver (ops/pagedkernel.py) with lane re-bucketing.
 
     Identical wavefront semantics to the grid/mega drivers, plus: between
@@ -610,7 +613,10 @@ def _render_band_paged(scene, vp, *, band_h, width, y0, seed_y0, offset_x,
     m_slots = max(1, min(pixels_per_lane, p_total))
     n = -(-p_total // m_slots)
     n_pad = -(-n // pk.TILE) * pk.TILE
-    rf = pk.f_rows(m_slots)
+    five = g.has_cy is not None
+    textured = g.has_tex is not None
+    nc = pk.n_carry(five, textured) if carry else 0
+    rf = pk.pf_rows(m_slots, nc)
 
     lane = jnp.arange(n_pad, dtype=jnp.int32)
     px = lane % width
@@ -748,8 +754,7 @@ def _render_band_paged(scene, vp, *, band_h, width, y0, seed_y0, offset_x,
             jnp.asarray(g.attrs), f, u,
             m_slots=m_slots, n_lanes=n, p_total=p_total, width=width,
             max_depth=max_depth, skip_tmax=skip_tmax, k_steps=k,
-            interpret=interpret, five=g.has_cy is not None,
-            textured=g.has_tex is not None,
+            interpret=interpret, five=five, textured=textured, carry=carry,
         )
         return (f2, u2, it + k)
 

@@ -172,7 +172,10 @@ class Renderer:
             # count only over-sizes K, which the plateau tolerates.
             ablate = ()
             band_lanes = -(-min(self.chunk_rows, h) * w // self.pixels_per_lane)
-            grid_steps = (1, _pk.scaled_k(band_lanes), 0, _pk.MORTON)
+            # slot [2]: carried winner attrs (pagedkernel.CARRY) — in-march
+            # attr fetch replacing the seg_done-time resolve page loop
+            grid_steps = (1, _pk.scaled_k(band_lanes),
+                          1 if _pk.CARRY else 0, _pk.MORTON)
         else:
             ablate = ()
             grid_steps = None

@@ -49,12 +49,15 @@ g = ds.paged
 assert g is not None, "scene must build a paged grid"
 vp = viewport_arrays(reference_camera(), W, H)
 
+CARRY = os.environ.get("CARRY", "1") != "0"  # carried winner attrs (default)
+FIVE = g.has_cy is not None
+TEXTURED = g.has_tex is not None
 p_total = W * H
 n = -(-p_total // M)
 n_pad = -(-n // pk.TILE) * pk.TILE
-rf = pk.f_rows(M)
-n_slots = g.geom.shape[1] // 4
-ab = g.attrs.shape[1] // 5
+rf = pk.pf_rows(M, pk.n_carry(FIVE, TEXTURED) if CARRY else 0)
+n_slots = g.geom.shape[1] // (5 if FIVE else 4)
+ab = g.attrs.shape[1] // ((6 if FIVE else 5) + (4 if TEXTURED else 0))
 n_pages = g.geom.shape[0]
 print(f"pages={n_pages} n_slots={n_slots} ab={ab} lanes={n} pad={n_pad}",
       flush=True)
@@ -91,7 +94,8 @@ vpr = jnp.concatenate([
 
 step = functools.partial(
     pk.paged_megakernel_step, m_slots=M, n_lanes=n, p_total=p_total,
-    width=W, max_depth=50, skip_tmax=True)
+    width=W, max_depth=50, skip_tmax=True, five=FIVE, textured=TEXTURED,
+    carry=CARRY)
 
 
 @jax.jit
