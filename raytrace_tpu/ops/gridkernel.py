@@ -385,6 +385,14 @@ def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
     # gather-structure A/B switches (scripts/grid_ablate.py)
     fuse = 4 if "fuse4" in ablate else (2 if "fuse2" in ablate else fuse)
     vmajor = "vmajor" in ablate
+    # padN: the ctab arrives with N dead rows appended to every block
+    # (grid_megakernel_step widens it), so each chunk gather fetches
+    # cb*(stride+N) rows instead of cb*stride while the VALUES — and the
+    # image bits — are unchanged.  The A/B delta is the pure marginal cost
+    # of gather rows in kernel context (measured: +24 rows/block +0.0%,
+    # +48 +1.7% — the chunk gather is fixed-cost-bound at these sizes).
+    stride_pad = next((int(a[3:]) for a in ablate
+                       if a.startswith("pad") and a[3:].isdigit()), 0)
 
     # ---- segment start: global spheres + grid clip + DDA init -------------
     need = alive & ~marching
@@ -471,7 +479,7 @@ def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
     # (block starts must be sublane-aligned for the chunk lane-concat).
     w = 5 if five else 4
     nv = w * n_slots
-    stride = -(-nv // 8) * 8
+    stride = -(-nv // 8) * 8 + stride_pad
 
     def _slot(vals, s):
         """(cx, cy, cz, kc, id) rows of slot s under either layout."""
@@ -1020,6 +1028,16 @@ def grid_megakernel_step(scal, vpr, gscal, gtab, gttab, ctab, atab, fstate,
     grid = n_pad // TILE
     c_stride = -(-(5 if five else 4) * n_slots // 8) * 8
     cb = ctab.shape[0] // c_stride
+    pad = next((int(a[3:]) for a in ablate
+                if a.startswith("pad") and a[3:].isdigit()), 0)
+    if pad:
+        # padN gather-row-cost probe (see _iterate): append N dead rows per
+        # block; values fetched are unchanged, only the gather row count
+        assert pad % 8 == 0, "pad must keep blocks sublane-aligned"
+        z = jnp.zeros((pad, ctab.shape[1]), ctab.dtype)
+        ctab = jnp.concatenate(
+            [x for b in range(cb)
+             for x in (ctab[b * c_stride : (b + 1) * c_stride], z)], axis=0)
     ab = atab.shape[0] // 8  # 8-row stride per block: 5 attr values
     #                          (mat, c0.rgb, attr) + 3 alignment pad rows
     textured = ttab is not None  # static: pytree structure of the args

@@ -131,7 +131,7 @@ def test_grid_m_invariance_within_chaos_budget(book):
 
 @pytest.mark.parametrize("ablate", [
     "fetch2", "resolve2", "global2", "camera2", "isect2", "dda2", "shade2",
-    "state2", "vmajor", "fuse2", "fuse4",
+    "state2", "vmajor", "fuse2", "fuse4", "pad24",
 ])
 def test_ablate_switches_trace_and_preserve_image(book, ablate):
     """Every documented perf-ablation switch (scripts/grid_ablate.py) must
