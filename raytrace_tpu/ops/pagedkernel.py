@@ -103,6 +103,9 @@ K_AUTO = True
 # page id (A/B reference).  Output bits are invariant to the choice (lane
 # permutation only).
 MORTON = 1
+# Perf-ablation switches for the paged kernel (read by the renderer at call
+# time, passed as a static arg — same sweep-safety rule as gridkernel.ABLATE).
+ABLATE: frozenset = frozenset()
 # 2^23: bkey values >= are direct sphere ids.  Must stay a power of two
 # small enough that TAG + id is EXACT in f32 (ulp(2^23) = 1; 2^24 would
 # round ids 0/1 together) while leaving room for page*(ab*128)+lid below it.
@@ -116,7 +119,8 @@ def scaled_k(n_lanes: int) -> int:
     return K_STEPS * max(1, round(n_lanes / 32768))
 
 
-def _page_fetch(tab_ref, sx, sz, nscz_i, fc, masked, *, n_rows, poison_rows):
+def _page_fetch(tab_ref, sx, sz, nscz_i, fc, masked, *, n_rows, poison_rows,
+                distinct=False):
     """Per-chunk paged fetch: tab_ref [n_pages, n_rows, 128]; sx/sz [1, T]
     i32 supercell coords (page id = sx*nscz+sz); fc [1, T] within-page fine
     index; masked [1, T] bool (lanes whose fetch matters).  Returns
@@ -129,7 +133,18 @@ def _page_fetch(tab_ref, sx, sz, nscz_i, fc, masked, *, n_rows, poison_rows):
     boundary used to inflate the linear range — and the loop trip count —
     by ~nscz wasted iterations (measured per-chunk spread ~29 with the two
     page loops at 52%/45% serial share, scripts/paged_iterbench.py).  The
-    box of a chunk straddling one x and one z boundary is 2x2 = 4 trips."""
+    box of a chunk straddling one x and one z boundary is 2x2 = 4 trips.
+
+    ``distinct=True`` walks only the chunk's DISTINCT pages instead: a
+    while_loop extracts the smallest unprocessed page id per trip (masked
+    min over an i32 carry with -1 = done; i1 vectors can't be loop carries
+    on Mosaic), fetches it, and retires its lanes.  Trip count = exact
+    number of distinct pages among masked lanes — strictly <= the box area
+    (a Morton-sorted chunk at a quad corner pays a 2x2 box for 2 actual
+    pages), at the price of one extra [1,128] reduce per trip for the
+    while condition.  Each lane is still selected on exactly the one trip
+    that carries its page, so the fetched values — and the image bits —
+    are identical to the box walk."""
     t = sx.shape[1]
     nb = t // 128
     sxb_all = sx.reshape(nb, 128)
@@ -150,13 +165,33 @@ def _page_fetch(tab_ref, sx, sz, nscz_i, fc, masked, *, n_rows, poison_rows):
         szb = szb_all[rb : rb + 1, :]
         f = fcb[rb : rb + 1, :]
         m = mk[rb : rb + 1, :] != 0
+        fb = jax.lax.broadcast_in_dim(f, (n_rows, 128), (0, 1))
+
+        if distinct:
+            rem0 = jnp.where(m, sxb * nscz_i + szb, -1)  # -1 = retired
+
+            def cond(state):
+                rem, _ = state
+                return jnp.max(rem) >= 0
+
+            def body(state, fb=fb):
+                rem, acc = state
+                pid = jnp.min(jnp.where(rem >= 0, rem, big))
+                pgdata = tab_ref[pid]  # [n_rows, 128]
+                g = jnp.take_along_axis(pgdata, fb, axis=1)
+                sel = rem == pid
+                return jnp.where(sel, -1, rem), jnp.where(sel, g, acc)
+
+            _, acc = jax.lax.while_loop(cond, body, (rem0, init))
+            chunks.append(acc)
+            continue
+
         sx_min = jnp.min(jnp.where(m, sxb, big))
         sx_max = jnp.max(jnp.where(m, sxb, -big))
         sz_min = jnp.min(jnp.where(m, szb, big))
         sz_max = jnp.max(jnp.where(m, szb, -big))
         nx = jnp.maximum(sx_max - sx_min + 1, 0)
         nz = jnp.maximum(sz_max - sz_min + 1, 0)
-        fb = jax.lax.broadcast_in_dim(f, (n_rows, 128), (0, 1))
 
         def body(d, acc, sxb=sxb, szb=szb, m=m, fb=fb,
                  sx_min=sx_min, sz_min=sz_min, nz=nz):
@@ -313,11 +348,13 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
     # for uniform-height fields; 5 values (cx, cy, cz, kc, lid) otherwise
     # (models/paged_grid.py has_cy)
     w = 5 if five else 4
+    dwalk = "distinctwalk" in ablate
     if cut("fetch"):
         vals = jax.lax.broadcast_in_dim(ox, (w * n_slots, ox.shape[1]), (0, 1))
     else:
         vals = _page_fetch(geom_ref, sxm, szm, nsczm_i, fc, marching,
-                           n_rows=w * n_slots, poison_rows=(w - 2, w))
+                           n_rows=w * n_slots, poison_rows=(w - 2, w),
+                           distinct=dwalk)
     # bkey packs the winner as ((sx<<5)|sz)<<9 | lid — page coords in
     # separate bit fields (not the linear page id) so winner resolution
     # can rebuild the 2-D box for its own page loop with static shifts.
@@ -362,7 +399,8 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
                                            (0, 1))
         else:
             at2 = _page_fetch(attrs_ref, sxm, szm, nsczm_i, lid_new & 127,
-                              amask, n_rows=na * ab, poison_rows=None)
+                              amask, n_rows=na * ab, poison_rows=None,
+                              distinct=dwalk)
         vnew = _ab_select(at2, lid_new, ab=ab, five=five, textured=textured)
         att = tuple(jnp.where(upd_any, v, a) for v, a in zip(vnew, att))
     t_exit = jnp.minimum(t_nx, t_nz)
@@ -418,7 +456,8 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
                                           (0, 1))
         else:
             at = _page_fetch(attrs_ref, sx_w, sz_w, nsczm_i, lid & 127, want,
-                             n_rows=na * ab, poison_rows=None)
+                             n_rows=na * ab, poison_rows=None,
+                             distinct=dwalk)
         vres = _ab_select(at, lid, ab=ab, five=five, textured=textured)
         mat, c0x, c0y, c0z, fuzz = vres[0], vres[1], vres[2], vres[3], vres[4]
         wcy = vres[5] if five else None

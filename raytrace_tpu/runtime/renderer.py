@@ -170,7 +170,7 @@ class Renderer:
             # data at pagedkernel.K_STEPS) — bands other than the last
             # have chunk_rows rows, and the last band's smaller lane
             # count only over-sizes K, which the plateau tolerates.
-            ablate = ()
+            ablate = tuple(sorted(_pk.ABLATE))
             band_lanes = -(-min(self.chunk_rows, h) * w // self.pixels_per_lane)
             # slot [2]: carried winner attrs (pagedkernel.CARRY) — in-march
             # attr fetch replacing the seg_done-time resolve page loop
