@@ -26,12 +26,13 @@ def dense():
     return prepare_scene(random_sphere_field(2000, seed=1, extent=7.0))
 
 
-def _render(ds, backend, *, depth=6, spp=2, m=2):
+def _render(ds, backend, *, depth=6, spp=2, m=2, ablate=()):
     vp = viewport_arrays(reference_camera(), W, H)
     return np.asarray(render_band_core(
         ds, vp, band_h=H, width=W, y0=np.int32(0), seed_y0=np.int32(0),
         offset_x=np.int32(0), spp=np.int32(spp), number=np.uint32(0),
-        max_depth=depth, backend=backend, pixels_per_lane=m, skip_tmax=True))
+        max_depth=depth, backend=backend, pixels_per_lane=m, skip_tmax=True,
+        ablate=ablate))
 
 
 def test_builder_dense(dense):
@@ -74,6 +75,17 @@ def test_paged_matches_mega_within_chaos(dense):
 def test_paged_shallow_bit_identical(dense):
     a = _render(dense, "mega", depth=2, spp=1, m=1)
     b = _render(dense, "paged", depth=2, spp=1, m=1)
+    assert np.array_equal(a, b)
+
+
+def test_paged_distinct_walk_bit_identical(dense):
+    """The non-default distinct-page fetch walk (pagedkernel._page_fetch
+    distinct=True, the 'distinctwalk' ablate switch — measured +4.6% on
+    v5e-lite and rejected, docs/PERFORMANCE.md) must stay bit-identical to
+    the production box walk: each lane is selected on exactly the one trip
+    that carries its page either way."""
+    a = _render(dense, "paged", depth=5, spp=2)
+    b = _render(dense, "paged", depth=5, spp=2, ablate=("distinctwalk",))
     assert np.array_equal(a, b)
 
 
