@@ -45,6 +45,7 @@ def ray_trace(
     samples_per_call: Optional[int] = None,
     accum_dtype: str = "float32",
     preview: bool = False,
+    pixels_per_lane: Optional[int] = None,
 ) -> np.ndarray:
     """Drop-in analogue of the reference C ABI entry point.
 
@@ -66,6 +67,7 @@ def ray_trace(
         scene_time=scene_time,
         out_path=out_path,
         accum_dtype=accum_dtype,
+        pixels_per_lane=pixels_per_lane,
     )
     t0 = time.perf_counter()
     if preview and gpu_count == 1:

@@ -20,6 +20,12 @@ medians).
 The rows for chips this repo has not run on are ROOFLINE PROJECTIONS, not
 measurements — see docs/PERFORMANCE.md "Scaling expectations" for the
 derivation (VPU lanes x clock scaling of the measured v5e-lite floor).
+
+``runtime/autotune.py`` turns the seed values here into a measured
+operating point on the live chip (``python -m raytrace_tpu --autotune``):
+it sweeps (M, j, K) around the profile with the interleaved-round
+methodology and caches the winner per device kind.  On day one of a new
+chip, run that instead of trusting the projection rows.
 """
 
 from __future__ import annotations

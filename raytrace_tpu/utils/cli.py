@@ -27,6 +27,7 @@ HELP = """\
 --preview                         # Write the running PNG after each call
 --frames <count>                  # Animated frame loop (0 = adaptive window)
 --checkpoint <path>               # Resume/checkpoint progressive renders
+--autotune                        # Tune kernel knobs for this chip (cached)
 """
 
 
@@ -76,6 +77,8 @@ def parse_args(argv):
             extras["_frames"] = int(_take())
         elif a == "--checkpoint":
             extras["_checkpoint"] = _take()
+        elif a == "--autotune":
+            extras["_autotune"] = True
         else:
             print(f"unknown argument: {a}", file=sys.stderr)
         i += 1
@@ -90,7 +93,19 @@ def main(argv=None):
         return 0
     frames = kw.pop("_frames", None)
     checkpoint = kw.pop("_checkpoint", None)
+    tune = kw.pop("_autotune", False)
     try:
+        if tune:
+            # measure (or reuse the cached) per-chip kernel operating point;
+            # output bits are invariant to the tuned knobs (M/j/K invariance
+            # is test-pinned), so applying it is always safe
+            from ..runtime.autotune import apply_tuned, autotune, load_tuned
+
+            tuned = load_tuned()
+            if tuned is None:
+                tuned = autotune(width=kw["width"], height=kw["height"])
+            apply_tuned(tuned)
+            kw.setdefault("pixels_per_lane", tuned["m"])
         if checkpoint is not None:
             from ..config import RenderConfig
             from ..ops.image import accum_to_u8
