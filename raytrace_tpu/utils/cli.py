@@ -31,9 +31,19 @@ HELP = """\
 """
 
 
+BACKENDS = ("auto", "grid", "paged", "mega", "matmul", "bruteforce", "pallas")
+
+
+class CLIError(Exception):
+    """Bad command line — reported as one readable stderr line (the
+    reference's graceful unknown-arg handling, main.cpp:49, extended to
+    missing/invalid values)."""
+
+
 def parse_args(argv):
     """Hand-rolled argv loop like main.cpp:19-51. Returns kwargs for
-    api.ray_trace, or None if --help was printed."""
+    api.ray_trace, or None if --help was printed.  Raises CLIError on a
+    missing/malformed flag value or unknown --backend."""
     kw = dict(samples=10, store_render_result=False, width=1920, height=1080,
               gpu_count=1)
     extras = {}
@@ -44,7 +54,16 @@ def parse_args(argv):
         def _take():
             nonlocal i
             i += 1
+            if i >= len(argv):
+                raise CLIError(f"missing value for {a}")
             return argv[i]
+
+        def _take_num(conv=int):
+            v = _take()
+            try:
+                return conv(v)
+            except ValueError:
+                raise CLIError(f"invalid value for {a}: {v!r}") from None
 
         if a == "--help":
             print(HELP, end="")
@@ -52,29 +71,34 @@ def parse_args(argv):
         elif a == "--store":
             kw["store_render_result"] = True
         elif a == "--samples":
-            kw["samples"] = int(_take())
+            kw["samples"] = _take_num()
         elif a == "--width":
-            kw["width"] = int(_take())
+            kw["width"] = _take_num()
         elif a == "--height":
-            kw["height"] = int(_take())
+            kw["height"] = _take_num()
         elif a == "--gpus":
-            kw["gpu_count"] = int(_take())
+            kw["gpu_count"] = _take_num()
         elif a == "--out":
             extras["out_path"] = _take()
         elif a == "--backend":
-            extras["backend"] = _take()
+            b = _take()
+            if b not in BACKENDS:
+                raise CLIError(
+                    f"unknown backend: {b!r} (expected one of "
+                    f"{'|'.join(BACKENDS)})")
+            extras["backend"] = b
         elif a == "--depth":
-            extras["max_depth"] = int(_take())
+            extras["max_depth"] = _take_num()
         elif a == "--time":
-            extras["scene_time"] = float(_take())
+            extras["scene_time"] = _take_num(float)
         elif a == "--samples-per-call":
-            extras["samples_per_call"] = int(_take())
+            extras["samples_per_call"] = _take_num()
         elif a == "--accum":
             extras["accum_dtype"] = _take()
         elif a == "--preview":
             extras["preview"] = True
         elif a == "--frames":
-            extras["_frames"] = int(_take())
+            extras["_frames"] = _take_num()
         elif a == "--checkpoint":
             extras["_checkpoint"] = _take()
         elif a == "--autotune":
@@ -88,7 +112,11 @@ def parse_args(argv):
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
-    kw = parse_args(argv)
+    try:
+        kw = parse_args(argv)
+    except CLIError as e:
+        print(e, file=sys.stderr)
+        return 1
     if kw is None:
         return 0
     frames = kw.pop("_frames", None)

@@ -45,6 +45,33 @@ def test_ray_trace_multichip(tmp_path):
     assert os.path.exists(out)
 
 
+def test_cli_missing_flag_value(capsys):
+    """`--samples` at argv end fails with one readable line, not a
+    traceback (parity with main.cpp:49's graceful handling)."""
+    from raytrace_tpu.utils import cli
+
+    rc = cli.main(["--samples"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "missing value for --samples" in err
+    assert "Traceback" not in err
+
+    rc = cli.main(["--width", "abc"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "invalid value for --width" in err
+
+
+def test_cli_unknown_backend(capsys):
+    from raytrace_tpu.utils import cli
+
+    rc = cli.main(["--backend", "vulkan"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "unknown backend: 'vulkan'" in err
+    assert "Traceback" not in err
+
+
 def test_preview_matches_progressive(tmp_path, monkeypatch):
     """--preview writes the running PNG after each call and produces the
     exact image of a plain progressive render (same per-call numbering)."""
