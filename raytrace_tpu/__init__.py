@@ -42,6 +42,29 @@ if _cache != "0" and not _jax.config.jax_compilation_cache_dir:
     except Exception:
         pass  # cache is an optimization; never block import
 
+# TILE is a compile-time module constant of the grid kernel (read from
+# RAYTRACE_GRID_TILE at ops/gridkernel.py import).  A cross-process TILE
+# sweep (`--autotune --full`, runtime/autotune.py sweep_tile) persists the
+# winner per device kind; honor it here — before any kernel module import —
+# unless the user pinned the env var themselves.
+if "RAYTRACE_GRID_TILE" not in _os.environ:
+    try:
+        import json as _json
+
+        _at = _os.environ.get(
+            "RAYTRACE_AUTOTUNE_CACHE",
+            _os.path.expanduser("~/.cache/raytrace_tpu_autotune.json"))
+        if _os.path.exists(_at):
+            with open(_at) as _f:
+                for _row in _json.load(_f).values():
+                    # one chip kind per host on this rig; if several exist,
+                    # a tile tuned on any of them beats the blind default
+                    if "tile" in _row:
+                        _os.environ["RAYTRACE_GRID_TILE"] = str(_row["tile"])
+                        break
+    except Exception:
+        pass  # tuning is an optimization; never block import
+
 from .config import RenderCallInfo, RenderConfig
 from .models.scene import generate_random_scene, three_sphere_scene, SceneArrays
 from .api import ray_trace, render_image

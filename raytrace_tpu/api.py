@@ -46,6 +46,7 @@ def ray_trace(
     accum_dtype: str = "float32",
     preview: bool = False,
     pixels_per_lane: Optional[int] = None,
+    mode: str = "exact",
 ) -> np.ndarray:
     """Drop-in analogue of the reference C ABI entry point.
 
@@ -68,6 +69,7 @@ def ray_trace(
         out_path=out_path,
         accum_dtype=accum_dtype,
         pixels_per_lane=pixels_per_lane,
+        mode=mode,
     )
     t0 = time.perf_counter()
     if preview and gpu_count == 1:

@@ -38,6 +38,16 @@ MAX_RAY_COLLISION_DISTANCE = 10000.0
 MAX_DEPTH = 50
 T_MIN = 0.001  # traceRayEXT tMin, shader.rgen:75
 
+# Fast-mode Russian-roulette defaults (mode="fast"): start depth, the depth
+# past which survival is additionally halved (bounds glass paths whose
+# throughput stays ~1), and the survival-probability floor (caps the 1/p
+# reweight at 20x).  Unbiased for any values; (2, 16) measured 0.758x useful
+# iterations on the book scene with negligible variance cost
+# (scripts/rr_study.py; d0=1 reaches 0.60x at a real variance cost).
+RR_START_DEPTH = 2
+RR_CAP_DEPTH = 16
+RR_PMIN = 0.05
+
 
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:
@@ -56,6 +66,14 @@ class RenderConfig:
     # ~60 s of device time: very long single executions can trip the TPU
     # runtime watchdog (CLAUDE.md).
     backend: str = "auto"  # auto|mega|pallas|matmul|bruteforce (trace.py)
+    mode: str = "exact"  # exact|fast.  "exact" reproduces the reference GLSL
+    # sample stream bit-for-bit (the test/parity contract).  "fast" is the
+    # production mode: Russian-roulette path termination (unbiased — the
+    # image statistically matches exact mode; sample values differ).  Fast
+    # mode keeps every determinism invariant (M/chunking/device-count/
+    # backend bit-invariance) within itself.
+    rr_params: Optional[Tuple[int, int, float]] = None  # override the
+    # (start depth, cap depth, p floor) defaults for mode="fast"
     scene_time: float = 0.0  # hero-sphere animation time (scene.h:82-83)
     accum_dtype: str = "float32"  # reference uses dvec3 (Q5); f32 validated in tests
     out_path: str = "render.png"
@@ -64,3 +82,12 @@ class RenderConfig:
     # ray_trace.cpp:669-670 / quirk Q4)
     camera_pos: Optional[Tuple[float, float, float]] = None
     camera_dir: Optional[Tuple[float, float, float]] = None
+
+    @property
+    def rr(self) -> Optional[Tuple[int, int, float]]:
+        """Kernel-level RR tuple for this config (None in exact mode)."""
+        if self.mode == "exact":
+            return None
+        if self.mode != "fast":
+            raise ValueError(f"unknown mode: {self.mode!r} (exact|fast)")
+        return self.rr_params or (RR_START_DEPTH, RR_CAP_DEPTH, RR_PMIN)

@@ -282,7 +282,7 @@ def _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a, cx, cy, cz, kc, *,
 def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
              gtab_ref, gttab_ref, ctab, atab, *, m_slots, n_lanes, p_total, width,
              max_depth, tmin, tmax, skip_tmax, j_steps, cb, ab, ablate, fuse,
-             five=False, n_slots=N_SLOTS, ttab=None, cols=slice(None)):
+             five=False, n_slots=N_SLOTS, ttab=None, cols=slice(None), rr=None):
     """One wavefront iteration: [start new segments] -> [J DDA steps] ->
     [shade/accumulate/regen lanes whose segment completed].
 
@@ -680,6 +680,32 @@ def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
     scatters = hit & does_scatter
     deep = (depth + 1) >= max_depth
     cont_b = seg_done & scatters & ~deep
+    # Russian-roulette path termination (fast mode, VERDICT r4 item 1):
+    # unbiased — a continuing path at depth+1 >= d0 survives with
+    # p = clamp(max component of new throughput, pmin, 1) (halved past d1
+    # to bound glass paths whose throughput stays ~1) and its throughput is
+    # divided by p.  Expectation is unchanged (the statistical contract to
+    # the reference holds); sample VALUES differ from the GLSL stream, so
+    # rr=None (exact mode) keeps the bit-parity chain for tests.  Measured
+    # useful-iteration savings: 0.758x at (2, 16) — scripts/rr_study.py.
+    ntx = tx_ * ax
+    nty = ty_ * ay
+    ntz = tz_ * az
+    if rr is not None:
+        d0, d1, pmin = rr
+        dnext = depth + 1
+        p = jnp.minimum(np.float32(1.0), jnp.maximum(
+            np.float32(pmin), jnp.maximum(ntx, jnp.maximum(nty, ntz))))
+        if d1:
+            p = jnp.where(dnext >= d1, p * np.float32(0.5), p)
+        considered = cont_b & (dnext >= d0)
+        seed_pre = jnp.where(seg_done & hit, seed_h, seed)
+        seed_rr, u_rr = rngops.random_float(seed_pre)
+        killed = considered & (u_rr >= p)
+        cont_b = cont_b & ~killed
+        ntx = jnp.where(considered, ntx / p, ntx)
+        nty = jnp.where(considered, nty / p, nty)
+        ntz = jnp.where(considered, ntz / p, ntz)
     term = seg_done & ~cont_b
     lx = jnp.where(hit, jnp.where(does_scatter, 0.0, ax), _SKY[0])
     ly = jnp.where(hit, jnp.where(does_scatter, 0.0, ay), _SKY[1])
@@ -694,6 +720,8 @@ def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
     cur_z = cb2_ + cbz
 
     seed_a = jnp.where(seg_done & hit, seed_h, seed)
+    if rr is not None:
+        seed_a = jnp.where(considered, seed_rr, seed_a)
 
     # ---- regen: next sample, next progressive call, or next pixel ----------
     # A merged dispatch runs n_calls progressive calls back-to-back per
@@ -785,9 +813,9 @@ def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
         jnp.where(cont_b, bz_, jnp.where(regen, cdz, dz)),
         fxn,
         fyn,
-        jnp.where(cont_b, tx_ * ax, jnp.where(regen, 1.0, tx_)),
-        jnp.where(cont_b, ty_ * ay, jnp.where(regen, 1.0, ty_)),
-        jnp.where(cont_b, tz_ * az, jnp.where(regen, 1.0, tz_)),
+        jnp.where(cont_b, ntx, jnp.where(regen, 1.0, tx_)),
+        jnp.where(cont_b, nty, jnp.where(regen, 1.0, ty_)),
+        jnp.where(cont_b, ntz, jnp.where(regen, 1.0, tz_)),
         t_b,
         t_end,
         t_nx,
@@ -815,7 +843,7 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, gttab_ref, ctab_ref,
             atab_ref, fin_ref, uin_ref, fout_ref, uout_ref, acc_ref,
             fresh_ref, *, m_slots, n_lanes, p_total, width, max_depth, tmin,
             tmax, k_steps, j_steps, skip_tmax, cb, ab, ablate, unroll, fuse,
-            groups=1, five=False, n_slots=N_SLOTS, ttab_ref=None):
+            groups=1, five=False, n_slots=N_SLOTS, ttab_ref=None, rr=None):
     gw = TILE // groups
     ctab = ctab_ref[:, :]
     ttab = None if ttab_ref is None else ttab_ref[:, :]
@@ -895,6 +923,7 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, gttab_ref, ctab_ref,
             p_total=p_total, width=width, max_depth=max_depth, tmin=tmin,
             tmax=tmax, skip_tmax=skip_tmax, j_steps=j_steps, cb=cb, ab=ab,
             ablate=ablate, fuse=fuse, five=five, n_slots=n_slots, ttab=ttab,
+            rr=rr,
         )
         for (_, lane_g, cs) in loaded
     ]
@@ -1010,7 +1039,7 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, gttab_ref, ctab_ref,
     static_argnames=(
         "m_slots", "n_lanes", "p_total", "width", "max_depth", "k_steps",
         "j_steps", "skip_tmax", "ablate", "interpret", "unroll", "fuse",
-        "groups", "five", "n_slots",
+        "groups", "five", "n_slots", "rr",
     ),
 )
 def grid_megakernel_step(scal, vpr, gscal, gtab, gttab, ctab, atab, fstate,
@@ -1018,7 +1047,7 @@ def grid_megakernel_step(scal, vpr, gscal, gtab, gttab, ctab, atab, fstate,
                          width, max_depth, k_steps=K_STEPS, j_steps=J_STEPS,
                          skip_tmax=False, ablate=(), interpret=False,
                          unroll=False, fuse=1, groups=GROUPS, five=False,
-                         n_slots=N_SLOTS):
+                         n_slots=N_SLOTS, rr=None):
     """``k_steps`` grid-traced wavefront iterations over all lanes."""
     assert TILE % (128 * groups) == 0, "group width must be 128-aligned"
     assert groups == 1 or (not unroll and "state2" not in ablate), (
@@ -1047,7 +1076,7 @@ def grid_megakernel_step(scal, vpr, gscal, gtab, gttab, ctab, atab, fstate,
         tmax=np.float32(config.MAX_RAY_COLLISION_DISTANCE), k_steps=k_steps,
         j_steps=j_steps, skip_tmax=skip_tmax, cb=cb, ab=ab,
         ablate=frozenset(ablate), unroll=unroll, fuse=fuse, groups=groups,
-        five=five, n_slots=n_slots,
+        five=five, n_slots=n_slots, rr=rr,
     )
     if textured:
         def kernel(scal_r, vpr_r, gscal_r, gtab_r, gttab_r, ctab_r, atab_r,

@@ -101,7 +101,7 @@ def _camera_rays_rows(seed, fx, fy, vpr):
 
 def _iterate(st, acc, lane, scal_ref, vpr_ref, table_ref, atab_ref, *,
              m_slots, n_lanes, p_total, width, max_depth, tmin, tmax,
-             skip_tmax):
+             skip_tmax, rr=None):
     """One wavefront iteration on in-register row state.
 
     st: tuple of [1,T] rows; acc: list of 3*M accumulator rows.
@@ -287,6 +287,26 @@ def _iterate(st, acc, lane, scal_ref, vpr_ref, table_ref, atab_ref, *,
     scatters = hit & does_scatter
     deep = (depth + 1) >= max_depth
     cont = alive & scatters & ~deep
+    # Russian-roulette fast mode — the exact structure of gridkernel._iterate
+    # (see its comment); rr=None keeps the bit-parity chain
+    ntx = tx_ * ax
+    nty = ty_ * ay
+    ntz = tz_ * az
+    if rr is not None:
+        d0, d1, pmin = rr
+        dnext = depth + 1
+        p = jnp.minimum(np.float32(1.0), jnp.maximum(
+            np.float32(pmin), jnp.maximum(ntx, jnp.maximum(nty, ntz))))
+        if d1:
+            p = jnp.where(dnext >= d1, p * np.float32(0.5), p)
+        considered = cont & (dnext >= d0)
+        seed_pre = jnp.where(hit, seed_h, seed)
+        seed_rr, u_rr = rngops.random_float(seed_pre)
+        killed = considered & (u_rr >= p)
+        cont = cont & ~killed
+        ntx = jnp.where(considered, ntx / p, ntx)
+        nty = jnp.where(considered, nty / p, nty)
+        ntz = jnp.where(considered, ntz / p, ntz)
     term = alive & ~cont
     lx = jnp.where(hit, jnp.where(does_scatter, 0.0, ax), _SKY[0])
     ly = jnp.where(hit, jnp.where(does_scatter, 0.0, ay), _SKY[1])
@@ -303,6 +323,8 @@ def _iterate(st, acc, lane, scal_ref, vpr_ref, table_ref, atab_ref, *,
         acc2[3 * m + 2] = acc[3 * m + 2] + jnp.where(sel, cbz, 0.0)
 
     seed_a = jnp.where(hit, seed_h, seed)
+    if rr is not None:
+        seed_a = jnp.where(considered, seed_rr, seed_a)
 
     # ---- regen: next sample or next pixel --------------------------------
     more = term & (sidx < spp_i)
@@ -337,9 +359,9 @@ def _iterate(st, acc, lane, scal_ref, vpr_ref, table_ref, atab_ref, *,
         jnp.where(cont, bz, jnp.where(regen, cdz, dz)),
         fxn,
         fyn,
-        jnp.where(cont, tx_ * ax, jnp.where(regen, 1.0, tx_)),
-        jnp.where(cont, ty_ * ay, jnp.where(regen, 1.0, ty_)),
-        jnp.where(cont, tz_ * az, jnp.where(regen, 1.0, tz_)),
+        jnp.where(cont, ntx, jnp.where(regen, 1.0, tx_)),
+        jnp.where(cont, nty, jnp.where(regen, 1.0, ty_)),
+        jnp.where(cont, ntz, jnp.where(regen, 1.0, tz_)),
         jnp.where(alive, jnp.where(regen, seed_r, seed_a), seed),
         m2,
         jnp.where(adv, 1, sidx + more.astype(jnp.int32)),
@@ -351,7 +373,7 @@ def _iterate(st, acc, lane, scal_ref, vpr_ref, table_ref, atab_ref, *,
 
 def _kernel(scal_ref, vpr_ref, table_ref, atab_ref, fin_ref, uin_ref,
             fout_ref, uout_ref, *, m_slots, n_lanes, p_total, width, max_depth,
-            tmin, tmax, k_steps, skip_tmax):
+            tmin, tmax, k_steps, skip_tmax, rr=None):
     lane = (
         jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
         + pl.program_id(0) * TILE
@@ -378,7 +400,7 @@ def _kernel(scal_ref, vpr_ref, table_ref, atab_ref, fin_ref, uin_ref,
         _iterate, lane=lane, scal_ref=scal_ref, vpr_ref=vpr_ref,
         table_ref=table_ref, atab_ref=atab_ref, m_slots=m_slots,
         n_lanes=n_lanes, p_total=p_total, width=width, max_depth=max_depth,
-        tmin=tmin, tmax=tmax, skip_tmax=skip_tmax,
+        tmin=tmin, tmax=tmax, skip_tmax=skip_tmax, rr=rr,
     )
 
     def body(_, carry):
@@ -420,12 +442,12 @@ def _kernel(scal_ref, vpr_ref, table_ref, atab_ref, fin_ref, uin_ref,
     jax.jit,
     static_argnames=(
         "m_slots", "n_lanes", "p_total", "width", "max_depth", "k_steps",
-        "skip_tmax", "interpret",
+        "skip_tmax", "interpret", "rr",
     ),
 )
 def megakernel_step(scal, vpr, table, atab, fstate, ustate, *, m_slots, n_lanes,
                     p_total, width, max_depth, k_steps=K_STEPS, skip_tmax=False,
-                    interpret=False):
+                    interpret=False, rr=None):
     """``k_steps`` wavefront iterations over all lanes. State shapes: fstate
     [f_rows(M), n_pad], ustate [U_ROWS, n_pad]; n_pad % TILE == 0."""
     n_pad = fstate.shape[1]
@@ -437,7 +459,7 @@ def megakernel_step(scal, vpr, table, atab, fstate, ustate, *, m_slots, n_lanes,
         _kernel, m_slots=m_slots, n_lanes=n_lanes, p_total=p_total, width=width,
         max_depth=max_depth, tmin=np.float32(config.T_MIN),
         tmax=np.float32(config.MAX_RAY_COLLISION_DISTANCE),
-        k_steps=k_steps, skip_tmax=skip_tmax,
+        k_steps=k_steps, skip_tmax=skip_tmax, rr=rr,
     )
     return pl.pallas_call(
         kernel,

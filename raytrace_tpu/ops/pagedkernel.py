@@ -236,7 +236,7 @@ def _ab_select(at, lid, *, ab, five, textured):
 def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
              attrs_ref, *, m_slots, n_lanes, p_total, width, max_depth,
              tmin, tmax, skip_tmax, n_slots, ab, ablate, five=False,
-             textured=False, carry=True):
+             textured=False, carry=True, rr=None):
     (ox, oy, oz, dx, dy, dz, fx, fy, tx_, ty_, tz_,
      t_b, t_end, t_nx, t_nz, bkey, wcx, wcz, cr_, cg_, cb2_,
      seed, mrow, sidx, depth, alive_i, march_i, cell, lane0) = st[:29]
@@ -503,6 +503,26 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
     scatters = hit & does_scatter
     deep = (depth + 1) >= max_depth
     cont_b = seg_done & scatters & ~deep
+    # Russian-roulette fast mode — the exact structure of
+    # gridkernel._iterate (see its comment); rr=None keeps the bit chain
+    ntx = tx_ * ax
+    nty = ty_ * ay
+    ntz = tz_ * az
+    if rr is not None:
+        d0, d1, pmin = rr
+        dnext = depth + 1
+        p = jnp.minimum(np.float32(1.0), jnp.maximum(
+            np.float32(pmin), jnp.maximum(ntx, jnp.maximum(nty, ntz))))
+        if d1:
+            p = jnp.where(dnext >= d1, p * np.float32(0.5), p)
+        considered = cont_b & (dnext >= d0)
+        seed_pre = jnp.where(seg_done & hit, seed_h, seed)
+        seed_rr, u_rr = rngops.random_float(seed_pre)
+        killed = considered & (u_rr >= p)
+        cont_b = cont_b & ~killed
+        ntx = jnp.where(considered, ntx / p, ntx)
+        nty = jnp.where(considered, nty / p, nty)
+        ntz = jnp.where(considered, ntz / p, ntz)
     term = seg_done & ~cont_b
     lx = jnp.where(hit, jnp.where(does_scatter, 0.0, ax), _SKY[0])
     ly = jnp.where(hit, jnp.where(does_scatter, 0.0, ay), _SKY[1])
@@ -512,6 +532,8 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
     cur_z = cb2_ + jnp.where(term, tz_ * lz, 0.0)
 
     seed_a = jnp.where(seg_done & hit, seed_h, seed)
+    if rr is not None:
+        seed_a = jnp.where(considered, seed_rr, seed_a)
 
     # ---- regen (pixel addressing via lane0 — lanes get re-bucketed) --------
     more = term & (sidx < spp_i)
@@ -572,9 +594,9 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
         jnp.where(cont_b, bz_, jnp.where(regen, cdz, dz)),
         fxn,
         fyn,
-        jnp.where(cont_b, tx_ * ax, jnp.where(regen, 1.0, tx_)),
-        jnp.where(cont_b, ty_ * ay, jnp.where(regen, 1.0, ty_)),
-        jnp.where(cont_b, tz_ * az, jnp.where(regen, 1.0, tz_)),
+        jnp.where(cont_b, ntx, jnp.where(regen, 1.0, tx_)),
+        jnp.where(cont_b, nty, jnp.where(regen, 1.0, ty_)),
+        jnp.where(cont_b, ntz, jnp.where(regen, 1.0, tz_)),
         t_b,
         t_end,
         t_nx,
@@ -601,7 +623,7 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, attrs_ref,
             fin_ref, uin_ref, fout_ref, uout_ref, acc_ref, *, m_slots,
             n_lanes, p_total, width, max_depth, tmin, tmax, k_steps,
             n_slots, ab, skip_tmax, ablate, five=False, textured=False,
-            carry=True):
+            carry=True, rr=None):
     a0 = R_ACC + 3 * m_slots  # carried attr rows live after the acc slots
     nc = n_carry(five, textured) if carry else 0
     st = (
@@ -636,7 +658,7 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, attrs_ref,
         attrs_ref=attrs_ref, m_slots=m_slots, n_lanes=n_lanes,
         p_total=p_total, width=width, max_depth=max_depth, tmin=tmin,
         tmax=tmax, skip_tmax=skip_tmax, n_slots=n_slots, ab=ab,
-        ablate=ablate, five=five, textured=textured, carry=carry,
+        ablate=ablate, five=five, textured=textured, carry=carry, rr=rr,
     )
 
     def body(_, st):
@@ -674,13 +696,14 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, attrs_ref,
     static_argnames=(
         "m_slots", "n_lanes", "p_total", "width", "max_depth", "k_steps",
         "skip_tmax", "ablate", "interpret", "five", "textured", "carry",
+        "rr",
     ),
 )
 def paged_megakernel_step(scal, vpr, gscal, gtab, geom, attrs, fstate,
                           ustate, *, m_slots, n_lanes, p_total, width,
                           max_depth, k_steps=K_STEPS, skip_tmax=False,
                           ablate=(), interpret=False, five=False,
-                          textured=False, carry=True):
+                          textured=False, carry=True, rr=None):
     """``k_steps`` paged-grid wavefront iterations over all lanes."""
     n_pad = fstate.shape[1]
     rf = pf_rows(m_slots, n_carry(five, textured) if carry else 0)
@@ -693,6 +716,7 @@ def paged_megakernel_step(scal, vpr, gscal, gtab, geom, attrs, fstate,
         tmax=np.float32(config.MAX_RAY_COLLISION_DISTANCE), k_steps=k_steps,
         n_slots=n_slots, ab=ab, skip_tmax=skip_tmax,
         ablate=frozenset(ablate), five=five, textured=textured, carry=carry,
+        rr=rr,
     )
     return pl.pallas_call(
         kernel,

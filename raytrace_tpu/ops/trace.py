@@ -274,6 +274,10 @@ def render_band_core(
     # i32 — group size changes don't recompile.  Bit-identical to the same
     # calls issued through the host loop (gridkernel call-merge docstring).
     spp_last=None,  # samples of the merged dispatch's last call (<= spp)
+    rr=None,  # fast mode (static): (d0, d1, pmin) Russian-roulette params —
+    # unbiased path termination past depth d0 with survival p = clamp(max
+    # throughput component, pmin, 1) (halved past d1), throughput /= p on
+    # survival.  None = exact reference-stream mode (the bit-parity chain).
 ):
     """Render one row band; returns the accumulated color sum [band_h, W, 3].
 
@@ -300,7 +304,7 @@ def render_band_core(
             max_depth=max_depth, pixels_per_lane=pixels_per_lane,
             skip_tmax=skip_tmax, return_iters=return_iters, backend=backend,
             ablate=ablate, grid_steps=grid_steps, n_calls=n_calls,
-            spp_last=spp_last)
+            spp_last=spp_last, rr=rr)
     if backend == "paged":
         return _render_band_paged(
             scene, vp, band_h=band_h, width=width, y0=y0, seed_y0=seed_y0,
@@ -314,7 +318,8 @@ def render_band_core(
             k_steps=None if grid_steps is None else grid_steps[1],
             morton=True if grid_steps is None else bool(grid_steps[3]),
             # carried winner attrs (pagedkernel.CARRY) ride grid_steps[2]
-            carry=True if grid_steps is None else bool(grid_steps[2]))
+            carry=True if grid_steps is None else bool(grid_steps[2]),
+            rr=rr)
 
     p_total = band_h * width
     m_slots = max(1, min(pixels_per_lane, p_total))
@@ -382,6 +387,22 @@ def render_band_core(
         scatters = hit & does_scatter
         deep = (st["depth"] + 1) >= max_depth
         cont = alive & scatters & ~deep
+        nthr = st["thr"] * att  # new throughput after this bounce
+        if rr is not None:
+            # Russian-roulette fast mode — same structure (and f32 op order)
+            # as gridkernel._iterate; rr=None keeps the bit-parity chain
+            d0, d1, pmin = rr
+            dnext = st["depth"] + 1
+            p = jnp.minimum(jnp.float32(1.0), jnp.maximum(
+                jnp.float32(pmin), jnp.max(nthr, axis=1)))
+            if d1:
+                p = jnp.where(dnext >= d1, p * jnp.float32(0.5), p)
+            considered = cont & (dnext >= d0)
+            seed_pre = jnp.where(hit, seed_h, seed)
+            seed_rr, u_rr = rngops.random_float(seed_pre)
+            killed = considered & (u_rr >= p)
+            cont = cont & ~killed
+            nthr = jnp.where(considered[:, None], nthr / p[:, None], nthr)
         term = alive & ~cont
 
         # lightSourceColor: sky on miss; attenuation on absorb (rgen:82-86);
@@ -401,6 +422,8 @@ def render_band_core(
 
         # Seed: hits consumed material draws; misses consumed none.
         seed_a = jnp.where(hit, seed_h, seed)
+        if rr is not None:
+            seed_a = jnp.where(considered, seed_rr, seed_a)
 
         # termination bookkeeping: next sample of same pixel, or next pixel
         more_samples = term & (st["sidx"] < spp)
@@ -429,7 +452,7 @@ def render_band_core(
             fx=fxn,
             fy=fyn,
             thr=jnp.where(
-                cont[:, None], st["thr"] * att, jnp.where(regen[:, None], 1.0, st["thr"])
+                cont[:, None], nthr, jnp.where(regen[:, None], 1.0, st["thr"])
             ),
             acc=acc,
             alive=alive & (cont | regen),
@@ -448,7 +471,7 @@ def render_band_core(
 def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
                       number, accum_init, max_depth, pixels_per_lane,
                       skip_tmax, return_iters, backend="mega", ablate=(),
-                      grid_steps=None, n_calls=None, spp_last=None):
+                      grid_steps=None, n_calls=None, spp_last=None, rr=None):
     """Megakernel driver: whole loop body in one Pallas call per iteration;
     state in row-major [rows, lanes] arrays so the host loop does zero layout
     conversion.  Semantics identical to the generic path (same RNG streams,
@@ -547,7 +570,7 @@ def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
                 m_slots=m_slots, n_lanes=n, p_total=p_total, width=width,
                 max_depth=max_depth, k_steps=k_steps, j_steps=j_steps,
                 skip_tmax=skip_tmax, ablate=ablate, interpret=interpret,
-                unroll=unroll, fuse=fuse, groups=groups,
+                unroll=unroll, fuse=fuse, groups=groups, rr=rr,
                 five=g.has_cy is not None,
                 n_slots=(g.has_cy.shape[1] if g.has_cy is not None
                          else g.slots4.shape[1] if g.slots4 is not None
@@ -563,6 +586,7 @@ def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
                 scal, vpr, scene.table, atab, f, u,
                 m_slots=m_slots, n_lanes=n, p_total=p_total, width=width,
                 max_depth=max_depth, skip_tmax=skip_tmax, interpret=interpret,
+                rr=rr,
             )
             return (f2, u2, it + mk.K_STEPS)
 
@@ -591,7 +615,7 @@ from .megakernel import (S_NUMBER as mega_S_NUMBER, S_OFFX as mega_S_OFFX,
 def _render_band_paged(scene, vp, *, band_h, width, y0, seed_y0, offset_x,
                        spp, number, accum_init, max_depth, pixels_per_lane,
                        skip_tmax, return_iters, k_steps=None, morton=True,
-                       carry=True):
+                       carry=True, rr=None):
     """Paged-grid driver (ops/pagedkernel.py) with lane re-bucketing.
 
     Identical wavefront semantics to the grid/mega drivers, plus: between
@@ -755,6 +779,7 @@ def _render_band_paged(scene, vp, *, band_h, width, y0, seed_y0, offset_x,
             m_slots=m_slots, n_lanes=n, p_total=p_total, width=width,
             max_depth=max_depth, skip_tmax=skip_tmax, k_steps=k,
             interpret=interpret, five=five, textured=textured, carry=carry,
+            rr=rr,
         )
         return (f2, u2, it + k)
 
@@ -781,7 +806,7 @@ render_band = jax.jit(
     render_band_core,
     static_argnames=(
         "band_h", "width", "max_depth", "backend", "pixels_per_lane",
-        "skip_tmax", "return_iters", "ablate", "grid_steps",
+        "skip_tmax", "return_iters", "ablate", "grid_steps", "rr",
     ),
 )
 

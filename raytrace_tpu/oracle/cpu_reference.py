@@ -109,8 +109,14 @@ def _scatter(scene: SceneArrays, i, d, normal, front_face, seed):
     return seed, None
 
 
-def _ray_color(scene: SceneArrays, o, d, seed, max_depth):
-    """calculateRayColor, shader.rgen:70-89. Returns (seed, rgb)."""
+def _ray_color(scene: SceneArrays, o, d, seed, max_depth, rr=None):
+    """calculateRayColor, shader.rgen:70-89. Returns (seed, rgb).
+
+    ``rr=(d0, d1, pmin)`` enables the fast mode's Russian-roulette path
+    termination with the exact f32 op order of the kernels
+    (gridkernel._iterate) so fast-mode backends validate near-bitwise
+    against this oracle just like exact mode does; ``rr=None`` is the
+    reference GLSL stream."""
     reflected = np.ones(3, np.float32)
     light = np.zeros(3, np.float32)
     for _depth in range(max_depth):
@@ -131,11 +137,26 @@ def _ray_color(scene: SceneArrays, o, d, seed, max_depth):
         reflected = reflected * attenuation
         o = point
         d = _normalize(sd).astype(np.float32)
+        # RR applies only to paths that would CONTINUE (depth+1 < max_depth)
+        # — the kernels' `considered = cont_b & ...` gate; a depth-capped
+        # path consumes no RR draw there, so none here either.
+        if rr is not None and _depth + 1 >= rr[0] and _depth + 1 < max_depth:
+            d0, d1, pmin = rr
+            p = np.minimum(F(1.0), np.maximum(
+                F(pmin), np.maximum(reflected[0],
+                                    np.maximum(reflected[1], reflected[2]))))
+            if d1 and _depth + 1 >= d1:
+                p = p * F(0.5)
+            seed, u = rngops.random_float(seed)
+            if u >= p:
+                return seed, reflected * light  # killed: light stays 0
+            reflected = (reflected / p).astype(np.float32)
     return seed, reflected * light
 
 
 def render_oracle(scene: SceneArrays, info: RenderCallInfo, max_depth: int = MAX_DEPTH,
-                  band_height: int | None = None, accum_dtype=np.float64):
+                  band_height: int | None = None, accum_dtype=np.float64,
+                  rr=None):
     """Render a band with the straight-line oracle (shader.rgen:39-67).
 
     Returns the *accumulated* color sum [h, w, 3] (pre-gamma); divide by spp
@@ -175,7 +196,8 @@ def render_oracle(scene: SceneArrays, info: RenderCallInfo, max_depth: int = MAX
                     to = (viewport.upper_left_corner + viewport.horizontal * u
                           - viewport.vertical * v)
                     d = _normalize((to - frm).astype(np.float32))
-                    seed, color = _ray_color(scene, frm.astype(np.float32), d, seed, max_depth)
+                    seed, color = _ray_color(scene, frm.astype(np.float32), d, seed, max_depth,
+                                             rr=rr)
                     total += color.astype(accum_dtype)
                 accum[py, px] = total
     return accum

@@ -102,6 +102,7 @@ class HeteroRenderer:
                     backend=self.backend,
                     pixels_per_lane=min(self.pixels_per_lane, max(1, self.rows[i] * cfg.width)),
                     skip_tmax=self.skip_tmax,
+                    rr=cfg.rr,
                 )
             )
         # fetch bands concurrently (one thread per device) so per_dev[i]

@@ -97,7 +97,7 @@ class MultiChipRenderer:
                 scene, vp, band_h=band_h, width=w, y0=y0, seed_y0=seed_y0,
                 offset_x=jnp.int32(0), spp=spp, number=number,
                 accum_init=accum_band, max_depth=max_depth, backend=backend,
-                pixels_per_lane=ppl, skip_tmax=skip_tmax,
+                pixels_per_lane=ppl, skip_tmax=skip_tmax, rr=self.config.rr,
             )
 
         if has_accum:

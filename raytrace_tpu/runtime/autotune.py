@@ -130,6 +130,150 @@ def autotune(width: int = 1920, height: int = 1080, spp: int = 200,
     return result
 
 
+def _worker_main() -> int:
+    """Persistent TILE-sweep worker (one per TILE candidate; spawned by
+    ``sweep_tile``).  TILE is compile-time (env RAYTRACE_GRID_TILE read at
+    gridkernel import), so each candidate needs its own process — but the
+    interleaved-round methodology needs all candidates timeable round-robin,
+    hence persistent children driven over stdin/stdout:
+
+        warm W H SPP M J K   -> compiles + warms, prints READY
+        go                   -> one timed render, prints T <seconds>
+        quit                 -> exits
+
+    RAYTRACE_WORKER_PLATFORM overrides the JAX platform (tests force "cpu";
+    the container's sitecustomize would otherwise pin the TPU relay).
+    """
+    import sys
+
+    plat = os.environ.get("RAYTRACE_WORKER_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+    from ..models.scene import generate_random_scene
+    from ..ops.trace import prepare_scene, render_band, viewport_arrays
+    from .renderer import reference_camera
+
+    ds = prepare_scene(generate_random_scene(0.0))
+    vp = None
+    params = None
+
+    def run():
+        w, h, spp, m, j, k = params
+        return np.asarray(render_band(
+            ds, vp, band_h=h, width=w, y0=np.int32(0), seed_y0=np.int32(0),
+            offset_x=np.int32(0), spp=np.int32(spp), number=np.uint32(0),
+            max_depth=50, backend="grid", pixels_per_lane=m, skip_tmax=True,
+            grid_steps=(j, k, False, 1)))
+
+    for line in sys.stdin:
+        parts = line.split()
+        if not parts:
+            continue
+        if parts[0] == "warm":
+            params = tuple(int(x) for x in parts[1:7])
+            vp = viewport_arrays(reference_camera(), params[0], params[1])
+            run()
+            print("READY", flush=True)
+        elif parts[0] == "go":
+            t0 = time.perf_counter()
+            run()
+            print(f"T {time.perf_counter() - t0:.6f}", flush=True)
+        elif parts[0] == "quit":
+            break
+    return 0
+
+
+def sweep_tile(tiles=(2048, 4096, 8192), width: int = 1920,
+               height: int = 1080, spp: int = 200, rounds: int = 5,
+               m: Optional[int] = None, j: Optional[int] = None,
+               k: Optional[int] = None, save: bool = True,
+               verbose: bool = True) -> dict:
+    """Cross-process TILE sweep (VERDICT r3 item 7).
+
+    TILE is the knob a different chip's VMEM moves most (v5e-lite pinned
+    4096) and it cannot be swept in-process (compile-time module global,
+    CLAUDE.md).  This spawns one persistent worker per candidate
+    (env RAYTRACE_GRID_TILE), warms them all, then times them in
+    interleaved rounds — the exact methodology of the in-process sweeps,
+    across processes.  The winner is persisted in the autotune cache
+    ("tile" key) and applied automatically at package import on this
+    device kind.  Output bits are TILE-invariant (lane tiling only).
+    """
+    import subprocess
+    import sys
+
+    tuned = load_tuned() or {}
+    m = m if m is not None else int(tuned.get("m", 64))
+    j = j if j is not None else int(tuned.get("j", 2))
+    k = k if k is not None else int(tuned.get("k", 40))
+
+    workers = {}
+    try:
+        for t in tiles:
+            env = dict(os.environ, RAYTRACE_GRID_TILE=str(t))
+            workers[t] = subprocess.Popen(
+                [sys.executable, "-m", "raytrace_tpu.runtime.autotune",
+                 "--worker"],
+                stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+                env=env)
+
+        def cmd(t, line, expect):
+            w = workers[t]
+            w.stdin.write(line + "\n")
+            w.stdin.flush()
+            while True:
+                out = w.stdout.readline()
+                if not out:
+                    raise RuntimeError(f"tile worker {t} died")
+                if out.startswith(expect):
+                    return out.strip()
+
+        # serialize warms (one chip): each pays its own compile once
+        for t in tiles:
+            t0 = time.perf_counter()
+            cmd(t, f"warm {width} {height} {spp} {m} {j} {k}", "READY")
+            if verbose:
+                print(f"sweep_tile: warm TILE={t} "
+                      f"({time.perf_counter()-t0:.0f}s)", flush=True)
+
+        times = {t: [] for t in tiles}
+        for rnd in range(rounds):
+            for t in tiles:
+                out = cmd(t, "go", "T ")
+                times[t].append(float(out.split()[1]))
+            if verbose:
+                print(f"sweep_tile round {rnd}: " + " ".join(
+                    f"{t}={times[t][-1]:.2f}s" for t in tiles), flush=True)
+    finally:
+        for w in workers.values():
+            try:
+                w.stdin.write("quit\n")
+                w.stdin.flush()
+            except Exception:
+                pass
+            w.terminate()
+
+    medians = {t: statistics.median(ts) for t, ts in times.items()}
+    best = min(tiles, key=lambda t: medians[t])
+    samples = width * height * spp
+    result = dict(tuned) if tuned else {
+        "m": m, "j": j, "k": k, "device_kind": _device_kind()}
+    result["tile"] = int(best)
+    result["tile_candidates"] = {
+        str(t): round(medians[t] / samples * 1e9, 3) for t in tiles}
+    if verbose:
+        for t in tiles:
+            mark = " <- best" if t == best else ""
+            print(f"sweep_tile: TILE={t} {medians[t]/samples*1e9:.2f} "
+                  f"ns/sample{mark}", flush=True)
+    if save:
+        save_tuned(result)
+    return result
+
+
 def save_tuned(result: dict, path: Optional[Path] = None) -> None:
     p = Path(path) if path is not None else CACHE_PATH
     p.parent.mkdir(parents=True, exist_ok=True)
@@ -174,3 +318,11 @@ def apply_tuned(tuned: Optional[dict] = None) -> Optional[dict]:
     gk.J_STEPS = int(tuned["j"])
     gk.K_STEPS = int(tuned["k"])
     return tuned
+
+
+if __name__ == "__main__":
+    import sys
+
+    if "--worker" in sys.argv:
+        raise SystemExit(_worker_main())
+    raise SystemExit("usage: python -m raytrace_tpu.runtime.autotune --worker")

@@ -203,6 +203,7 @@ class Renderer:
                     grid_steps=grid_steps,
                     n_calls=None if n_calls is None else np.int32(n_calls),
                     spp_last=None if spp_last is None else np.int32(spp_last),
+                    rr=cfg.rr,
                 )
             )
         import jax.numpy as jnp

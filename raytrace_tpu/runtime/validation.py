@@ -25,7 +25,13 @@ GOLDEN = os.path.join(_DATA, "golden_fullscene_24x14_2spp_d12.npy")
 GOLDEN_MT = os.path.join(_DATA, "golden_fullscene_128x72_2spp_d8.npy")
 
 
-def _render_golden_config(backend: str, multi_tile: bool, m=None):
+def _fast_rr():
+    from .. import config as _cfg
+
+    return (_cfg.RR_START_DEPTH, _cfg.RR_CAP_DEPTH, _cfg.RR_PMIN)
+
+
+def _render_golden_config(backend: str, multi_tile: bool, m=None, rr=None):
     from ..models.scene import generate_random_scene
     from ..ops.trace import prepare_scene, render_band, viewport_arrays
     from .renderer import reference_camera
@@ -41,12 +47,13 @@ def _render_golden_config(backend: str, multi_tile: bool, m=None):
     out = np.asarray(render_band(
         ds, vp, band_h=h, width=w, y0=np.int32(0), seed_y0=np.int32(0),
         offset_x=np.int32(0), spp=np.int32(SPP), number=np.uint32(0),
-        max_depth=depth, backend=backend, pixels_per_lane=m, skip_tmax=True))
+        max_depth=depth, backend=backend, pixels_per_lane=m, skip_tmax=True,
+        rr=rr))
     return out, (w, h)
 
 
 def golden_check(backend: str = "mega", golden_path: Optional[str] = None,
-                 multi_tile: bool = False) -> dict:
+                 multi_tile: bool = False, mode: str = "exact") -> dict:
     """Render the golden config with ``backend`` on the live platform and
     compare against the stored CPU-oracle artifact.
 
@@ -61,7 +68,8 @@ def golden_check(backend: str = "mega", golden_path: Optional[str] = None,
         golden = np.load(golden_path or GOLDEN_MT)
     else:
         golden = np.load(golden_path or GOLDEN)
-    out, (w, h) = _render_golden_config(backend, multi_tile)
+    out, (w, h) = _render_golden_config(
+        backend, multi_tile, rr=_fast_rr() if mode == "fast" else None)
     diff = np.abs(out - golden)
     bad = int((diff.max(axis=2) > 1e-3).sum())
     # the tile size must DIVIDE the golden dims or compare_accums silently
@@ -69,9 +77,30 @@ def golden_check(backend: str = "mega", golden_path: Optional[str] = None,
     res = compare_accums(out, golden, SPP, SPP, tile=8 if multi_tile else 2)
     return {
         "backend": backend,
+        "mode": mode,
         "bad_px": bad,
         "total_px": w * h,
         "max_diff": float(diff.max()),
+        "mean_rel": round(res.mean_rel_diff, 6),
+        "tile_p95_z": round(res.tile_p95_z, 3),
+        "psnr_db": round(res.psnr_db, 2),
+        "ok": bool(res.matches()),
+    }
+
+
+def fast_check() -> dict:
+    """Fast (Russian-roulette) vs exact mode on the live platform, compared
+    statistically on the multi-tile golden config — the recorded artifact
+    that the production mode's estimator is unbiased on real hardware
+    (VERDICT r3 item 1's numeric gate)."""
+    from ..utils.compare import compare_accums
+
+    exact, (w, h) = _render_golden_config("grid", multi_tile=True)
+    fast, _ = _render_golden_config("grid", multi_tile=True, rr=_fast_rr())
+    res = compare_accums(fast, exact, SPP, SPP, tile=8)
+    return {
+        "check": "fast==exact (statistical)",
+        "rr": list(_fast_rr()),
         "mean_rel": round(res.mean_rel_diff, 6),
         "tile_p95_z": round(res.tile_p95_z, 3),
         "psnr_db": round(res.psnr_db, 2),
@@ -114,17 +143,59 @@ def merge_check() -> dict:
     }
 
 
-def bitident_check(backend_a: str = "grid", backend_b: str = "mega") -> dict:
+def bandsplit_check(backend: str = "grid", n_bands: int = 4) -> dict:
+    """Row-band split vs whole-frame render on the live platform, compared
+    bitwise (VERDICT r3 item 6).  This is the multi-chip data-parallel claim
+    — an N-device shard_map render runs exactly these per-band programs
+    (parallel/sharding.py global-seed mode; ray_trace.cpp:74-105 banding
+    analogue) — recorded on real hardware where the compiled Mosaic kernel
+    is shape-invariant per tile, instead of only as the CPU-mesh tolerance
+    test (tests/test_multichip.py)."""
+    from ..models.scene import generate_random_scene
+    from ..ops.trace import prepare_scene, render_band, viewport_arrays
+    from .renderer import reference_camera
+
+    w, h, depth = 128, 72, 8
+    assert h % n_bands == 0
+    bh = h // n_bands
+    ds = prepare_scene(generate_random_scene(0.0))
+    vp = viewport_arrays(reference_camera(), w, h)
+
+    def band(y0, band_h):
+        return np.asarray(render_band(
+            ds, vp, band_h=band_h, width=w, y0=np.int32(y0),
+            seed_y0=np.int32(y0), offset_x=np.int32(0), spp=np.int32(SPP),
+            number=np.uint32(0), max_depth=depth, backend=backend,
+            pixels_per_lane=1, skip_tmax=True))
+
+    whole = band(0, h)
+    split = np.concatenate([band(i * bh, bh) for i in range(n_bands)], axis=0)
+    ndiff = int((whole != split).any(axis=2).sum())
+    return {
+        "check": f"bandsplit({n_bands})==whole",
+        "backend": backend,
+        "diff_px": ndiff,
+        "total_px": w * h,
+        "bit_identical": bool(ndiff == 0),
+        "max_diff": float(np.abs(whole - split).max()),
+    }
+
+
+def bitident_check(backend_a: str = "grid", backend_b: str = "mega",
+                   mode: str = "exact") -> dict:
     """Render the multi-tile golden config with two backends on the live
     platform and compare bitwise.  On TPU hardware grid==mega is expected
-    bit-identical (same-graph Mosaic fp, docs/PERFORMANCE.md "Mosaic facts");
+    bit-identical (same-graph Mosaic fp, docs/PERFORMANCE.md "Mosaic facts")
+    in BOTH modes — fast mode's RR is deterministic given seeds;
     recording it in the bench JSON makes that claim a per-run artifact
     rather than an interpret-mode-only test pin (VERDICT r2 weak #4)."""
-    a, (w, h) = _render_golden_config(backend_a, multi_tile=True)
-    b, _ = _render_golden_config(backend_b, multi_tile=True)
+    rr = _fast_rr() if mode == "fast" else None
+    a, (w, h) = _render_golden_config(backend_a, multi_tile=True, rr=rr)
+    b, _ = _render_golden_config(backend_b, multi_tile=True, rr=rr)
     ndiff = int((a != b).any(axis=2).sum())
     return {
         "backends": f"{backend_a}=={backend_b}",
+        "mode": mode,
         "diff_px": ndiff,
         "total_px": w * h,
         "bit_identical": bool(ndiff == 0),

@@ -24,10 +24,14 @@ HELP = """\
 --time <seconds>                  # Scene animation time (default 0)
 --samples-per-call <count>        # Progressive accumulation chunk
 --accum <float32|float64>         # Cross-call accumulator dtype (Q5 dvec3)
+--mode <exact|fast>               # fast = Russian-roulette production mode
 --preview                         # Write the running PNG after each call
 --frames <count>                  # Animated frame loop (0 = adaptive window)
 --checkpoint <path>               # Resume/checkpoint progressive renders
 --autotune                        # Tune kernel knobs for this chip (cached)
+--full                            # With --autotune: also sweep TILE
+                                  # (cross-process; applied at next import)
+--serve <port>                    # Live progressive HTTP viewer (0 = auto)
 """
 
 
@@ -95,6 +99,11 @@ def parse_args(argv):
             extras["samples_per_call"] = _take_num()
         elif a == "--accum":
             extras["accum_dtype"] = _take()
+        elif a == "--mode":
+            m = _take()
+            if m not in ("exact", "fast"):
+                raise CLIError(f"unknown mode: {m!r} (expected exact|fast)")
+            extras["mode"] = m
         elif a == "--preview":
             extras["preview"] = True
         elif a == "--frames":
@@ -103,6 +112,10 @@ def parse_args(argv):
             extras["_checkpoint"] = _take()
         elif a == "--autotune":
             extras["_autotune"] = True
+        elif a == "--full":
+            extras["_autotune_full"] = True
+        elif a == "--serve":
+            extras["_serve"] = _take_num()
         else:
             print(f"unknown argument: {a}", file=sys.stderr)
         i += 1
@@ -122,19 +135,42 @@ def main(argv=None):
     frames = kw.pop("_frames", None)
     checkpoint = kw.pop("_checkpoint", None)
     tune = kw.pop("_autotune", False)
+    tune_full = kw.pop("_autotune_full", False)
+    serve = kw.pop("_serve", None)
     try:
         if tune:
             # measure (or reuse the cached) per-chip kernel operating point;
-            # output bits are invariant to the tuned knobs (M/j/K invariance
-            # is test-pinned), so applying it is always safe
-            from ..runtime.autotune import apply_tuned, autotune, load_tuned
+            # output bits are invariant to the tuned knobs (M/j/K/TILE
+            # invariance is test-pinned), so applying it is always safe
+            from ..runtime.autotune import (apply_tuned, autotune, load_tuned,
+                                            sweep_tile)
 
             tuned = load_tuned()
             if tuned is None:
                 tuned = autotune(width=kw["width"], height=kw["height"])
+            if tune_full and "tile" not in tuned:
+                # cross-process TILE sweep: the winner lands in the cache
+                # and is applied by the package bootstrap at NEXT import
+                # (TILE is compile-time); this process keeps its own TILE
+                tuned = sweep_tile(m=tuned["m"], j=tuned["j"], k=tuned["k"])
             apply_tuned(tuned)
             kw.setdefault("pixels_per_lane", tuned["m"])
-        if checkpoint is not None:
+        if serve is not None:
+            # live progressive viewer + camera input (C8: the headless
+            # analogue of the reference's per-GPU windows, window.hpp:29-54)
+            from ..config import RenderConfig
+            from ..runtime.viewer import LiveViewer
+
+            cfg = RenderConfig(
+                samples=kw["samples"], width=kw["width"], height=kw["height"],
+                max_depth=kw.get("max_depth", 50),
+                backend=kw.get("backend", "auto"),
+                samples_per_call=kw.get("samples_per_call"),
+                mode=kw.get("mode", "exact"),
+                scene_time=kw.get("scene_time", 0.0),
+            )
+            LiveViewer(cfg, port=serve).run()
+        elif checkpoint is not None:
             from ..config import RenderConfig
             from ..ops.image import accum_to_u8
             from ..runtime.renderer import Renderer

@@ -23,8 +23,8 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def write_png(path: str, image: np.ndarray) -> None:
-    """Write an [H, W, 3] uint8 array as an RGB PNG."""
+def encode_png(image: np.ndarray) -> bytes:
+    """Encode an [H, W, 3] uint8 array as RGB PNG bytes."""
     img = np.asarray(image)
     if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
         raise ValueError(f"expected [H,W,3] uint8, got {img.shape} {img.dtype}")
@@ -32,11 +32,15 @@ def write_png(path: str, image: np.ndarray) -> None:
     # filter byte 0 per scanline
     raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
-    png = (
+    return (
         b"\x89PNG\r\n\x1a\n"
         + _chunk(b"IHDR", ihdr)
         + _chunk(b"IDAT", zlib.compress(raw, 6))
         + _chunk(b"IEND", b"")
     )
+
+
+def write_png(path: str, image: np.ndarray) -> None:
+    """Write an [H, W, 3] uint8 array as an RGB PNG."""
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(encode_png(image))

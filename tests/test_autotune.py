@@ -76,3 +76,36 @@ def test_cli_autotune_flag(tmp_path, monkeypatch):
         assert out.exists()
     finally:
         gk.J_STEPS, gk.K_STEPS = j0, k0
+
+
+def test_sweep_tile_cross_process(tmp_path, monkeypatch):
+    """The cross-process TILE sweep (VERDICT r3 item 7): persistent workers
+    per candidate, interleaved rounds, winner persisted under the "tile"
+    key, and the package bootstrap applies it at next import."""
+    import os
+    import subprocess
+    import sys
+
+    cache = tmp_path / "tune.json"
+    monkeypatch.setattr(at, "CACHE_PATH", cache)
+    monkeypatch.setenv("RAYTRACE_AUTOTUNE_CACHE", str(cache))
+    monkeypatch.setenv("RAYTRACE_WORKER_PLATFORM", "cpu")
+    res = at.sweep_tile(tiles=(1024, 2048), width=48, height=16, spp=1,
+                        rounds=1, m=2, j=1, k=4, verbose=False)
+    assert res["tile"] in (1024, 2048)
+    assert set(res["tile_candidates"]) == {"1024", "2048"}
+    data = json.loads(cache.read_text())
+    row = next(iter(data.values()))
+    assert row["tile"] == res["tile"]
+
+    # the import bootstrap picks the tuned TILE up (fresh interpreter)
+    env = dict(os.environ, RAYTRACE_AUTOTUNE_CACHE=str(cache),
+               JAX_PLATFORMS="cpu")
+    env.pop("RAYTRACE_GRID_TILE", None)
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import raytrace_tpu; from raytrace_tpu.ops.gridkernel import TILE;"
+         "print('TILE', TILE)"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert out.returncode == 0, out.stderr[-500:]
+    assert f"TILE {res['tile']}" in out.stdout

@@ -165,3 +165,15 @@ def test_sharded_grid_bit_identical_matched_bands():
         for y0 in range(0, H_, bh)
     ]
     assert np.array_equal(np.concatenate(bands, axis=0), np.asarray(multi))
+
+
+def test_bandsplit_check_runs():
+    """The bench artifact's band-split probe (runtime/validation.py): on
+    XLA:CPU interpret the band-vs-whole comparison carries the usual
+    fp-chaos budget (bit-identical on TPU hardware, recorded per bench
+    run as ``bandsplit_check``)."""
+    from raytrace_tpu.runtime.validation import bandsplit_check
+
+    res = bandsplit_check(n_bands=4)
+    assert res["total_px"] == 128 * 72
+    assert res["diff_px"] <= 0.01 * res["total_px"], res
