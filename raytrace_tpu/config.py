@@ -41,10 +41,13 @@ T_MIN = 0.001  # traceRayEXT tMin, shader.rgen:75
 # Fast-mode Russian-roulette defaults (mode="fast"): start depth, the depth
 # past which survival is additionally halved (bounds glass paths whose
 # throughput stays ~1), and the survival-probability floor (caps the 1/p
-# reweight at 20x).  Unbiased for any values; (2, 16) measured 0.758x useful
-# iterations on the book scene with negligible variance cost
-# (scripts/rr_study.py; d0=1 reaches 0.60x at a real variance cost).
-RR_START_DEPTH = 2
+# reweight at 20x).  Unbiased for any values.  Hardware A/B at 1080p x
+# 400 spp (scripts/fast_ab.py, interleaved): d0=1 -32.8% vs exact (gate
+# p95_z 1.37), d0=2 -23.4% (p95_z 0.38).  d0=1 is the default — fast mode
+# targets high-spp production renders where its ~2x indirect-light variance
+# is invisible; pass rr_params=(2, 16, 0.05) (or use exact mode) for
+# low-spp previews where it is not.
+RR_START_DEPTH = 1
 RR_CAP_DEPTH = 16
 RR_PMIN = 0.05
 
