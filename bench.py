@@ -163,6 +163,47 @@ def main() -> int:
     spp1_exec_ms = sorted(exec_ms)[1] * 1e3
     spp1_ms = sorted(frame_ms)[1] * 1e3
 
+    # the axon relay pays ~29 ms of host round-trip latency on ANY
+    # dispatch+fetch (measured: a 4-byte fetch of a ready device array
+    # costs the same as the isolated 1-spp dispatch minus its kernel) —
+    # record the floor so spp1_ms_exec decomposes honestly
+    import jax
+
+    _bump = jax.jit(lambda s: s + 1.0)
+    tiny = _bump(np.float32(0))
+    np.asarray(tiny)  # warm the trivial program
+    rtt = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        tiny = _bump(tiny)  # fresh array each repeat: jax caches the host
+        np.asarray(tiny)  # copy of an already-fetched Array, which would
+        rtt.append(time.perf_counter() - t0)  # read 0 ms
+    relay_rtt_ms = sorted(rtt)[2] * 1e3
+
+    # steady-state 1-spp FRAME LOOP — the reference's duration_per_frame
+    # semantics (ray_trace.cpp:741-748 averages over an entire frame loop;
+    # its 1.25 ms is a per-frame average over consecutive presented frames,
+    # not an isolated dispatch).  The grid backend's in-kernel call merge
+    # renders R consecutive 1-spp frames (distinct RNG `number` each, same
+    # accumulator protocol as R separate calls — bit-identical by test) in
+    # ONE device dispatch, so per-frame time = (t_R - t_1)/(R - 1): the
+    # one relay round trip is differenced out exactly as the reference's
+    # swapchain sync amortizes across its loop.
+    spp1_frame_loop_ms = None
+    if r.backend == "grid":
+        reps = 65
+        np.asarray(r.render_call(1, n_calls=reps, spp_last=1)[:1, :1, :])
+        t_one, t_many = [], []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(r.render_call(1)[:1, :1, :])
+            t_one.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            np.asarray(r.render_call(1, n_calls=reps, spp_last=1)[:1, :1, :])
+            t_many.append(time.perf_counter() - t0)
+        spp1_frame_loop_ms = (
+            (sorted(t_many)[1] - sorted(t_one)[1]) / (reps - 1) * 1e3)
+
     # timed probe to estimate throughput; large enough that the wavefront
     # tail (which amortizes with spp) doesn't skew the extrapolation
     probe_spp = int(os.environ.get("BENCH_PROBE_SPP", 256))
@@ -213,6 +254,14 @@ def main() -> int:
                 "spp1_ms_est": round(width * height / sps * 1e3, 2),
                 "spp1_ms_measured": round(spp1_ms, 2),
                 "spp1_ms_exec": round(spp1_exec_ms, 2),
+                # per-frame time over a steady 1-spp frame loop (the
+                # reference metric's semantics); None off the grid backend
+                "spp1_ms_frame_loop": (
+                    None if spp1_frame_loop_ms is None
+                    else round(spp1_frame_loop_ms, 2)),
+                # measured host<->device round trip of the axon relay: the
+                # irreducible transport floor inside spp1_ms_exec
+                "relay_rtt_ms": round(relay_rtt_ms, 2),
                 "measured": measured,
                 "backend": r.backend,
                 "mode": mode,

@@ -83,7 +83,14 @@ class Renderer:
     def __init__(self, config: RenderConfig, scene: Optional[SceneArrays] = None):
         self.config = config
         self.scene = scene if scene is not None else generate_random_scene(config.scene_time)
-        self.device_scene: DeviceScene = prepare_scene(self.scene)
+        # device residency: prepare_scene returns HOST numpy tables; passing
+        # them to the jitted band render re-uploads every table on every
+        # call (17 arrays, ~132 KB for the book scene) — invisible on a
+        # PCIe-attached host, but through the axon relay each transfer pays
+        # real dispatch latency, which dominated the measured 1-spp frame
+        # (docs/PERFORMANCE.md).  One device_put here makes every later
+        # render_call transfer only its 5 scalars.
+        self.device_scene: DeviceScene = jax.device_put(prepare_scene(self.scene))
         self.backend = resolve_backend(config.backend, self.device_scene)
         w, h = config.width, config.height
         # wavefront M: average path-length variance across M strided pixels
@@ -119,7 +126,7 @@ class Renderer:
         self.chunk_rows = max(
             1, min(h, (target * self.pixels_per_lane) // max(w, 1))
         )
-        self.vp = viewport_arrays(config_camera(config), w, h)
+        self.vp = jax.device_put(viewport_arrays(config_camera(config), w, h))
         self.skip_tmax = tmax_never_binds(self.scene, config_camera(config))
 
     def _backend_tile(self):
@@ -136,7 +143,7 @@ class Renderer:
 
     def set_scene(self, scene: SceneArrays) -> None:
         self.scene = scene
-        self.device_scene = prepare_scene(scene)
+        self.device_scene = jax.device_put(prepare_scene(scene))
         self.backend = resolve_backend(self.config.backend, self.device_scene)
 
     def render_call(self, spp: int, number: int = 0, accum=None,

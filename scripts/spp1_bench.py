@@ -32,8 +32,12 @@ CONFIGS = [
         "CONFIGS", "64x40,64x16,64x8,128x8,256x8,256x16").split(",")
 ]
 
-ds = prepare_scene(generate_random_scene(0.0))
-vp = viewport_arrays(reference_camera(), W, H)
+import jax
+
+# device-resident tables: without this every timed call re-uploads all
+# scene tables through the relay, swamping the kernel at spp=1
+ds = jax.device_put(prepare_scene(generate_random_scene(0.0)))
+vp = jax.device_put(viewport_arrays(reference_camera(), W, H))
 
 
 def run(m, k, return_iters=False):
