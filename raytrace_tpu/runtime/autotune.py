@@ -40,6 +40,25 @@ def _device_kind() -> str:
     return jax.devices()[0].device_kind
 
 
+def _rr_for(mode: str):
+    """RR triple for ``mode`` ("exact" -> None, "fast" -> config defaults).
+
+    The tuner sweeps under the mode the production render will use: RR
+    changes the iteration mix, so knob optima are re-measured per mode
+    (CLAUDE.md re-measure rule).  Measured on v5e-lite the winner is the
+    same point (M=64 j=2 K=40) in both modes, but the cache keeps them
+    separate (key suffix "|fast") so other chips can differ."""
+    if mode == "fast":
+        from .. import config as _cfg
+
+        return (_cfg.RR_START_DEPTH, _cfg.RR_CAP_DEPTH, _cfg.RR_PMIN)
+    return None
+
+
+def _cache_key(device_kind: str, mode: str) -> str:
+    return device_kind if mode == "exact" else f"{device_kind}|{mode}"
+
+
 def default_candidates(seed_m: int = 64, seed_j: int = 2,
                        seed_k: int = 40) -> list:
     """Cross pattern around the profile seed: one axis varied at a time.
@@ -64,7 +83,7 @@ def default_candidates(seed_m: int = 64, seed_j: int = 2,
 def autotune(width: int = 1920, height: int = 1080, spp: int = 200,
              rounds: int = 3, candidates: Optional[list] = None,
              scene_time: float = 0.0, save: bool = True,
-             verbose: bool = True) -> dict:
+             verbose: bool = True, mode: str = "exact") -> dict:
     """Measure the candidates on the live chip; return and cache the winner.
 
     Returns {"m", "j", "k", "ns_per_sample", "device_kind", "candidates"}.
@@ -86,13 +105,15 @@ def autotune(width: int = 1920, height: int = 1080, spp: int = 200,
         raise RuntimeError("autotune sweeps the grid backend; the book "
                            "scene must build a flat grid")
     vp = viewport_arrays(reference_camera(), width, height)
+    rr = _rr_for(mode)
 
     def run(m, j, k):
         return np.asarray(render_band(
             ds, vp, band_h=height, width=width, y0=np.int32(0),
             seed_y0=np.int32(0), offset_x=np.int32(0), spp=np.int32(spp),
             number=np.uint32(0), max_depth=50, backend="grid",
-            pixels_per_lane=m, skip_tmax=True, grid_steps=(j, k, False, 1)))
+            pixels_per_lane=m, skip_tmax=True, grid_steps=(j, k, False, 1),
+            rr=rr))
 
     for c in candidates:  # compile everything before any timing
         t0 = time.perf_counter()
@@ -114,7 +135,7 @@ def autotune(width: int = 1920, height: int = 1080, spp: int = 200,
     result = {
         "m": best[0], "j": best[1], "k": best[2],
         "ns_per_sample": round(medians[best] / samples * 1e9, 3),
-        "device_kind": _device_kind(),
+        "device_kind": _device_kind(), "mode": mode,
         "width": width, "height": height, "spp": spp,
         "candidates": {
             f"{c[0]}x{c[1]}x{c[2]}": round(medians[c] / samples * 1e9, 3)
@@ -137,7 +158,8 @@ def _worker_main() -> int:
     interleaved-round methodology needs all candidates timeable round-robin,
     hence persistent children driven over stdin/stdout:
 
-        warm W H SPP M J K   -> compiles + warms, prints READY
+        warm W H SPP M J K [MODE]  -> compiles + warms, prints READY
+                                      (MODE exact|fast, default exact)
         go                   -> one timed render, prints T <seconds>
         quit                 -> exits
 
@@ -159,6 +181,7 @@ def _worker_main() -> int:
     ds = prepare_scene(generate_random_scene(0.0))
     vp = None
     params = None
+    rr = None
 
     def run():
         w, h, spp, m, j, k = params
@@ -166,7 +189,7 @@ def _worker_main() -> int:
             ds, vp, band_h=h, width=w, y0=np.int32(0), seed_y0=np.int32(0),
             offset_x=np.int32(0), spp=np.int32(spp), number=np.uint32(0),
             max_depth=50, backend="grid", pixels_per_lane=m, skip_tmax=True,
-            grid_steps=(j, k, False, 1)))
+            grid_steps=(j, k, False, 1), rr=rr))
 
     for line in sys.stdin:
         parts = line.split()
@@ -174,6 +197,7 @@ def _worker_main() -> int:
             continue
         if parts[0] == "warm":
             params = tuple(int(x) for x in parts[1:7])
+            rr = _rr_for(parts[7]) if len(parts) > 7 else None
             vp = viewport_arrays(reference_camera(), params[0], params[1])
             run()
             print("READY", flush=True)
@@ -190,7 +214,7 @@ def sweep_tile(tiles=(2048, 4096, 8192), width: int = 1920,
                height: int = 1080, spp: int = 200, rounds: int = 5,
                m: Optional[int] = None, j: Optional[int] = None,
                k: Optional[int] = None, save: bool = True,
-               verbose: bool = True) -> dict:
+               verbose: bool = True, mode: str = "exact") -> dict:
     """Cross-process TILE sweep (VERDICT r3 item 7).
 
     TILE is the knob a different chip's VMEM moves most (v5e-lite pinned
@@ -205,7 +229,7 @@ def sweep_tile(tiles=(2048, 4096, 8192), width: int = 1920,
     import subprocess
     import sys
 
-    tuned = load_tuned() or {}
+    tuned = load_tuned(mode=mode) or {}
     m = m if m is not None else int(tuned.get("m", 64))
     j = j if j is not None else int(tuned.get("j", 2))
     k = k if k is not None else int(tuned.get("k", 40))
@@ -234,7 +258,8 @@ def sweep_tile(tiles=(2048, 4096, 8192), width: int = 1920,
         # serialize warms (one chip): each pays its own compile once
         for t in tiles:
             t0 = time.perf_counter()
-            cmd(t, f"warm {width} {height} {spp} {m} {j} {k}", "READY")
+            cmd(t, f"warm {width} {height} {spp} {m} {j} {k} {mode}",
+                "READY")
             if verbose:
                 print(f"sweep_tile: warm TILE={t} "
                       f"({time.perf_counter()-t0:.0f}s)", flush=True)
@@ -261,6 +286,7 @@ def sweep_tile(tiles=(2048, 4096, 8192), width: int = 1920,
     samples = width * height * spp
     result = dict(tuned) if tuned else {
         "m": m, "j": j, "k": k, "device_kind": _device_kind()}
+    result["mode"] = mode
     result["tile"] = int(best)
     result["tile_candidates"] = {
         str(t): round(medians[t] / samples * 1e9, 3) for t in tiles}
@@ -283,12 +309,14 @@ def save_tuned(result: dict, path: Optional[Path] = None) -> None:
             data = json.loads(p.read_text())
         except (json.JSONDecodeError, OSError):
             data = {}
-    data[result["device_kind"]] = result
+    data[_cache_key(result["device_kind"], result.get("mode", "exact"))] = (
+        result)
     p.write_text(json.dumps(data, indent=1))
 
 
 def load_tuned(device_kind: Optional[str] = None,
-               path: Optional[Path] = None) -> Optional[dict]:
+               path: Optional[Path] = None,
+               mode: str = "exact") -> Optional[dict]:
     p = Path(path) if path is not None else CACHE_PATH
     if not p.exists():
         return None
@@ -301,7 +329,11 @@ def load_tuned(device_kind: Optional[str] = None,
             device_kind = _device_kind()
         except Exception:
             return None
-    return data.get(device_kind)
+    tuned = data.get(_cache_key(device_kind, mode))
+    if tuned is None and mode != "exact":
+        tuned = data.get(device_kind)  # exact-mode fallback (same winner
+        # on v5e-lite; a fast-mode --autotune run replaces it)
+    return tuned
 
 
 def apply_tuned(tuned: Optional[dict] = None) -> Optional[dict]:

@@ -145,14 +145,19 @@ def main(argv=None):
             from ..runtime.autotune import (apply_tuned, autotune, load_tuned,
                                             sweep_tile)
 
-            tuned = load_tuned()
+            # tune under the mode the render will use (RR changes the
+            # iteration mix; winners are cached per device kind AND mode)
+            tmode = kw.get("mode", "exact")
+            tuned = load_tuned(mode=tmode)
             if tuned is None:
-                tuned = autotune(width=kw["width"], height=kw["height"])
+                tuned = autotune(width=kw["width"], height=kw["height"],
+                                 mode=tmode)
             if tune_full and "tile" not in tuned:
                 # cross-process TILE sweep: the winner lands in the cache
                 # and is applied by the package bootstrap at NEXT import
                 # (TILE is compile-time); this process keeps its own TILE
-                tuned = sweep_tile(m=tuned["m"], j=tuned["j"], k=tuned["k"])
+                tuned = sweep_tile(m=tuned["m"], j=tuned["j"], k=tuned["k"],
+                                   mode=tmode)
             apply_tuned(tuned)
             kw.setdefault("pixels_per_lane", tuned["m"])
         if serve is not None:

@@ -21,12 +21,20 @@ from raytrace_tpu.runtime.renderer import Renderer
 
 W, H, SPP = 1920, 1080, int(os.environ.get("SWEEP_SPP", 200))
 ROUNDS = int(os.environ.get("SWEEP_ROUNDS", 5))
+# SWEEP_MODE=fast re-measures the j/k operating point under Russian
+# roulette (r4): RR changes the iteration mix, and the repo rule is to
+# re-measure knobs when the structure changes (CLAUDE.md).
+MODE = os.environ.get("SWEEP_MODE", "exact")
 CASES = [(1, 10), (2, 10), (3, 10), (2, 5)]  # (j_steps, k_steps)
+if os.environ.get("SWEEP_CASES"):  # e.g. "1,40;2,40;3,40"
+    CASES = [tuple(int(x) for x in c.split(","))
+             for c in os.environ["SWEEP_CASES"].split(";")]
 
 renderers = {}
 for j, k in CASES:
     gk.J_STEPS, gk.K_STEPS = j, k
-    r = Renderer(RenderConfig(samples=SPP, width=W, height=H, backend="grid"))
+    r = Renderer(RenderConfig(samples=SPP, width=W, height=H, backend="grid",
+                              mode=MODE))
     t0 = time.perf_counter()
     np.asarray(r.render_call(SPP))
     print(f"j={j} k={k}: warm {time.perf_counter()-t0:.0f}s", flush=True)
@@ -44,7 +52,8 @@ for rnd in range(ROUNDS):
                                       for j, k in CASES), flush=True)
 
 base = statistics.median(times[CASES[0]])
-print(f"\nj=1 k=10 median: {base:.3f}s ({base/(W*H*SPP)*1e9:.2f} ns/sample)")
+print(f"\nj={CASES[0][0]} k={CASES[0][1]} median: {base:.3f}s "
+      f"({base/(W*H*SPP)*1e9:.2f} ns/sample)")
 for c in CASES[1:]:
     m = statistics.median(times[c])
     print(f"j={c[0]} k={c[1]} median {m:.3f}s  ({100*(m-base)/base:+.1f}%)",

@@ -34,6 +34,14 @@ CONFIGS = [
     for c in os.environ.get("CONFIGS", "64x1,128x1,256x1,64x2,128x2,64x3").split(",")
 ]
 CONFIGS = [c if len(c) == 3 else (*c, gk.K_STEPS) for c in CONFIGS]
+# SWEEP_MODE=fast re-measures the operating point under Russian roulette
+# (r4 fast production mode): RR changes the iteration mix, and knobs are
+# re-measured when the structure changes (CLAUDE.md).
+RR = None
+if os.environ.get("SWEEP_MODE", "exact") == "fast":
+    from raytrace_tpu import config as _cfg
+
+    RR = (_cfg.RR_START_DEPTH, _cfg.RR_CAP_DEPTH, _cfg.RR_PMIN)
 
 ds = prepare_scene(generate_random_scene(0.0))
 vp = viewport_arrays(reference_camera(), W, H)
@@ -44,7 +52,7 @@ def run(m, j, k):
         ds, vp, band_h=H, width=W, y0=np.int32(0), seed_y0=np.int32(0),
         offset_x=np.int32(0), spp=np.int32(SPP), number=np.uint32(0),
         max_depth=50, backend="grid", pixels_per_lane=m, skip_tmax=True,
-        return_iters=True, grid_steps=(j, k, False, 1))
+        return_iters=True, grid_steps=(j, k, False, 1), rr=RR)
     return np.asarray(acc), int(iters)
 
 

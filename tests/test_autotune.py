@@ -33,6 +33,33 @@ def test_autotune_sweep_and_cache(tmp_path):
     assert at.load_tuned("no-such-chip", path=cache) is None
 
 
+def test_autotune_fast_mode_cache(tmp_path):
+    """mode="fast" sweeps under RR and caches per (device kind, mode);
+    load_tuned(mode="fast") prefers the fast row and falls back to the
+    exact row when only that exists."""
+    cache = tmp_path / "tune.json"
+    res = at.autotune(width=48, height=27, spp=1, rounds=1,
+                      candidates=[(2, 1, 4), (2, 2, 4)], save=False,
+                      verbose=False, mode="fast")
+    assert res["mode"] == "fast"
+    at.save_tuned(res, path=cache)
+    data = json.loads(cache.read_text())
+    assert f"{res['device_kind']}|fast" in data
+    assert res["device_kind"] not in data  # exact key untouched
+
+    got = at.load_tuned(res["device_kind"], path=cache, mode="fast")
+    assert got["mode"] == "fast" and got["m"] == res["m"]
+    # exact lookup misses (no exact row saved)
+    assert at.load_tuned(res["device_kind"], path=cache) is None
+
+    # exact-row fallback: seed an exact-only cache, ask for fast
+    exact = dict(res, mode="exact")
+    cache2 = tmp_path / "tune2.json"
+    at.save_tuned(exact, path=cache2)
+    fb = at.load_tuned(res["device_kind"], path=cache2, mode="fast")
+    assert fb is not None and fb["mode"] == "exact"
+
+
 def test_apply_tuned_sets_kernel_globals():
     from raytrace_tpu.ops import gridkernel as gk
 
