@@ -85,9 +85,16 @@ def main() -> int:
 
     per_call = int(os.environ.get("BENCH_SPP_PER_CALL",
                                   profile_for().samples_per_call))
+    # measured-cost balanced pixel->lane assignment (runtime/balance.py):
+    # one 32-spp iterstats probe per scene/camera (~0.4 s exec, compiled
+    # programs persistently cached), then every render uses the balanced
+    # table — bit-identical image, measured -5.2% wall (balance_ab r4).
+    # BENCH_BALANCE_SPP=0 disables.
+    balance_spp = int(os.environ.get("BENCH_BALANCE_SPP", 32))
     cfg = RenderConfig(
         samples=target_spp, width=width, height=height, backend=backend,
         samples_per_call=min(per_call, target_spp), mode=mode,
+        balance_spp=balance_spp,
     )
     r = Renderer(cfg)
 
@@ -222,7 +229,10 @@ def main() -> int:
         est_call_s = width * height * min(per_call, target_spp) / sps
         group = max(1, int(55.0 / max(est_call_s, 1e-3)))
         if group > 1:
-            r = Renderer(dataclasses.replace(cfg, calls_per_exec=group))
+            r2 = Renderer(dataclasses.replace(cfg, calls_per_exec=group))
+            r2._passign = r._passign  # same cost map / M -> same tables;
+            r2.balance_stats = r.balance_stats  # skip a duplicate probe
+            r = r2
 
     if projected <= budget_s:
         try:

@@ -47,6 +47,7 @@ def ray_trace(
     preview: bool = False,
     pixels_per_lane: Optional[int] = None,
     mode: str = "exact",
+    balance_spp: int = 0,
 ) -> np.ndarray:
     """Drop-in analogue of the reference C ABI entry point.
 
@@ -70,6 +71,7 @@ def ray_trace(
         accum_dtype=accum_dtype,
         pixels_per_lane=pixels_per_lane,
         mode=mode,
+        balance_spp=balance_spp,
     )
     t0 = time.perf_counter()
     if preview and gpu_count == 1:

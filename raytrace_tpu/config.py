@@ -77,6 +77,11 @@ class RenderConfig:
     # backend bit-invariance) within itself.
     rr_params: Optional[Tuple[int, int, float]] = None  # override the
     # (start depth, cap depth, p floor) defaults for mode="fast"
+    balance_spp: int = 0  # grid backend: when > 0, measure per-pixel costs
+    # with an iterstats probe of this many spp and render with a balanced
+    # pixel->lane assignment (runtime/balance.py).  BIT-IDENTICAL output
+    # (assignment invariance); only the straggler wall moves.  0 = the
+    # default strided map.
     scene_time: float = 0.0  # hero-sphere animation time (scene.h:82-83)
     accum_dtype: str = "float32"  # reference uses dvec3 (Q5); f32 validated in tests
     out_path: str = "render.png"

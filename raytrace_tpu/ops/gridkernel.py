@@ -282,7 +282,8 @@ def _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a, cx, cy, cz, kc, *,
 def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
              gtab_ref, gttab_ref, ctab, atab, *, m_slots, n_lanes, p_total, width,
              max_depth, tmin, tmax, skip_tmax, j_steps, cb, ab, ablate, fuse,
-             five=False, n_slots=N_SLOTS, ttab=None, cols=slice(None), rr=None):
+             five=False, n_slots=N_SLOTS, ttab=None, cols=slice(None), rr=None,
+             passign_ref=None, pnext_ref=None):
     """One wavefront iteration: [start new segments] -> [J DDA steps] ->
     [shade/accumulate/regen lanes whose segment completed].
 
@@ -343,6 +344,17 @@ def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
     # and the 2x32-round hash block runs under a pl.when that fires only
     # during renew bursts, not every iteration.  Bit-exact: same tea_hash
     # compositions, same operands.
+    def _assigned_pix(m_idx):
+        """passign[m_idx, lane] via a row-select chain (m_idx is a per-lane
+        i32 slot index; indices outside [1, m_slots) read as the p_total
+        sentinel, matching the arithmetic path's out-of-range semantics).
+        Only called inside burst-gated pl.when blocks — the chain's
+        ~2*m_slots row ops never run on the per-iteration critical path."""
+        nxt = jnp.full_like(m_idx, p_total)
+        for mm in range(1, m_slots):
+            nxt = jnp.where(m_idx == mm, passign_ref[mm : mm + 1, cols], nxt)
+        return nxt
+
     def _fresh_pair():
         offx_f = offx.astype(jnp.float32)
         y0_f = y0.astype(jnp.float32)
@@ -353,7 +365,8 @@ def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
                             (seed_y0 + py_cur).astype(jnp.uint32)),
             (number0 + cidx + 1).astype(jnp.uint32),
         )
-        nxt_pix = (mrow + 1) * n_lanes + lane
+        nxt_pix = ((mrow + 1) * n_lanes + lane if passign_ref is None
+                   else _assigned_pix(mrow + 1))
         npx = nxt_pix % width
         npy = nxt_pix // width
         np_ = rngops.tea_hash(  # next pixel slot, first call
@@ -713,6 +726,13 @@ def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
     cbx = jnp.where(term, tx_ * lx, 0.0)
     cby = jnp.where(term, ty_ * ly, 0.0)
     cbz = jnp.where(term, tz_ * lz, 0.0)
+    if "iterstats" in ablate:
+        # probe mode: acc.r counts the issued iterations attributed to the
+        # lane's current (pixel, call) chunk instead of color — the
+        # per-pixel cost map the balanced-assignment builder consumes
+        # (scripts/lane_balance.py).  g/b stay color so goldens can sanity
+        # the probe ran the same paths.
+        cbx = alive.astype(jnp.float32)
 
     # accumulate into the lane's current-pixel sum (3 masked adds)
     cur_x = cr_ + cbx
@@ -768,7 +788,18 @@ def _iterate(st, acc_ref, fresh_ref, lane, scal_ref, vpr_ref, gscal_ref,
     pix_done = chunk_done & ~more_calls
     m2 = mrow + pix_done.astype(jnp.int32)
     cidx2 = jnp.where(pix_done, 0, cidx + more_calls.astype(jnp.int32))
-    pix2 = m2 * n_lanes + lane
+    if passign_ref is None:
+        pix2 = m2 * n_lanes + lane
+    else:
+        # balanced assignment: the advancing lanes' next pixel comes from
+        # the passign table.  The select chain runs only during (rare)
+        # pixel-advance bursts; off-burst reads of pnext_ref are stale or
+        # uninitialized but every consumer below is masked by pix_done/adv.
+        @pl.when(jnp.any(pix_done))
+        def _lookup_next():
+            pnext_ref[0:1, cols] = _assigned_pix(m2)
+
+        pix2 = pnext_ref[0:1, cols]
     valid2 = (m2 < m_slots) & (pix2 < p_total)
     adv = pix_done & valid2
     px2 = pix2 % width
@@ -843,7 +874,8 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, gttab_ref, ctab_ref,
             atab_ref, fin_ref, uin_ref, fout_ref, uout_ref, acc_ref,
             fresh_ref, *, m_slots, n_lanes, p_total, width, max_depth, tmin,
             tmax, k_steps, j_steps, skip_tmax, cb, ab, ablate, unroll, fuse,
-            groups=1, five=False, n_slots=N_SLOTS, ttab_ref=None, rr=None):
+            groups=1, five=False, n_slots=N_SLOTS, ttab_ref=None, rr=None,
+            passign_ref=None, pnext_ref=None):
     gw = TILE // groups
     ctab = ctab_ref[:, :]
     ttab = None if ttab_ref is None else ttab_ref[:, :]
@@ -923,7 +955,7 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, gttab_ref, ctab_ref,
             p_total=p_total, width=width, max_depth=max_depth, tmin=tmin,
             tmax=tmax, skip_tmax=skip_tmax, j_steps=j_steps, cb=cb, ab=ab,
             ablate=ablate, fuse=fuse, five=five, n_slots=n_slots, ttab=ttab,
-            rr=rr,
+            rr=rr, passign_ref=passign_ref, pnext_ref=pnext_ref,
         )
         for (_, lane_g, cs) in loaded
     ]
@@ -1043,7 +1075,8 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, gttab_ref, ctab_ref,
     ),
 )
 def grid_megakernel_step(scal, vpr, gscal, gtab, gttab, ctab, atab, fstate,
-                         ustate, ttab=None, *, m_slots, n_lanes, p_total,
+                         ustate, ttab=None, passign=None, *, m_slots,
+                         n_lanes, p_total,
                          width, max_depth, k_steps=K_STEPS, j_steps=J_STEPS,
                          skip_tmax=False, ablate=(), interpret=False,
                          unroll=False, fuse=1, groups=GROUPS, five=False,
@@ -1070,6 +1103,7 @@ def grid_megakernel_step(scal, vpr, gscal, gtab, gttab, ctab, atab, fstate,
     ab = atab.shape[0] // 8  # 8-row stride per block: 5 attr values
     #                          (mat, c0.rgb, attr) + 3 alignment pad rows
     textured = ttab is not None  # static: pytree structure of the args
+    balanced = passign is not None  # static: balanced pixel assignment
     kw = dict(
         m_slots=m_slots, n_lanes=n_lanes, p_total=p_total,
         width=width, max_depth=max_depth, tmin=np.float32(config.T_MIN),
@@ -1078,12 +1112,20 @@ def grid_megakernel_step(scal, vpr, gscal, gtab, gttab, ctab, atab, fstate,
         ablate=frozenset(ablate), unroll=unroll, fuse=fuse, groups=groups,
         five=five, n_slots=n_slots, rr=rr,
     )
-    if textured:
+    if textured or balanced:
+        # optional refs slot in between atab and the state refs (inputs),
+        # and after fresh_ref (scratch), in a fixed order
         def kernel(scal_r, vpr_r, gscal_r, gtab_r, gttab_r, ctab_r, atab_r,
-                   ttab_r, fin_r, uin_r, fout_r, uout_r, acc_r, fresh_r):
+                   *rest):
+            rest = list(rest)
+            ttab_r = rest.pop(0) if textured else None
+            passign_r = rest.pop(0) if balanced else None
+            fin_r, uin_r, fout_r, uout_r, acc_r, fresh_r = rest[:6]
+            pnext_r = rest[6] if balanced else None
             _kernel(scal_r, vpr_r, gscal_r, gtab_r, gttab_r, ctab_r, atab_r,
                     fin_r, uin_r, fout_r, uout_r, acc_r, fresh_r,
-                    ttab_ref=ttab_r, **kw)
+                    ttab_ref=ttab_r, passign_ref=passign_r,
+                    pnext_ref=pnext_r, **kw)
     else:
         kernel = functools.partial(_kernel, **kw)
     in_specs = [
@@ -1100,6 +1142,11 @@ def grid_megakernel_step(scal, vpr, gscal, gtab, gttab, ctab, atab, fstate,
         in_specs.append(
             pl.BlockSpec(ttab.shape, lambda g: (0, 0), memory_space=pltpu.VMEM))
         args.append(ttab)
+    if balanced:
+        in_specs.append(
+            pl.BlockSpec((m_slots, TILE), lambda g: (0, g),
+                         memory_space=pltpu.VMEM))
+        args.append(passign)
     st0 = len(args)  # index of fstate (aliased to output 0)
     in_specs += [
         pl.BlockSpec((rf, TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
@@ -1121,8 +1168,10 @@ def grid_megakernel_step(scal, vpr, gscal, gtab, gttab, ctab, atab, fstate,
         input_output_aliases={st0: 0, st0 + 1: 1},  # buffer reuse only —
         # every output row is still written (Mosaic does not preserve
         # unwritten rows of aliased outputs)
-        scratch_shapes=[pltpu.VMEM((3 * m_slots, TILE), jnp.float32),
-                        pltpu.VMEM((3, TILE), jnp.uint32)],
+        scratch_shapes=(
+            [pltpu.VMEM((3 * m_slots, TILE), jnp.float32),
+             pltpu.VMEM((3, TILE), jnp.uint32)]
+            + ([pltpu.VMEM((1, TILE), jnp.int32)] if balanced else [])),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(*args)

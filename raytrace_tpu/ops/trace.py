@@ -278,6 +278,13 @@ def render_band_core(
     # unbiased path termination past depth d0 with survival p = clamp(max
     # throughput component, pmin, 1) (halved past d1), throughput /= p on
     # survival.  None = exact reference-stream mode (the bit-parity chain).
+    passign=None,  # grid backend: balanced pixel->lane assignment table,
+    # i32 [m_slots, n_pad] of band-local pixel ids (sentinel >= p_total on
+    # padding entries).  Each pixel is still rendered whole, on one lane,
+    # samples in order — so the IMAGE IS BIT-IDENTICAL to the default
+    # strided map for any table (same invariance argument as M/chunking);
+    # only the straggler wall moves (runtime/balance.py builds tables from
+    # measured per-pixel costs).  Dynamic arg (tables don't recompile).
 ):
     """Render one row band; returns the accumulated color sum [band_h, W, 3].
 
@@ -297,6 +304,9 @@ def render_band_core(
     """
     if (n_calls is not None or spp_last is not None) and backend != "grid":
         raise ValueError("in-kernel call merging is a grid-backend feature")
+    if passign is not None and backend != "grid":
+        raise ValueError("balanced pixel assignment is a grid-backend "
+                         "feature")
     if backend in ("mega", "grid"):
         return _render_band_mega(
             scene, vp, band_h=band_h, width=width, y0=y0, seed_y0=seed_y0,
@@ -304,7 +314,7 @@ def render_band_core(
             max_depth=max_depth, pixels_per_lane=pixels_per_lane,
             skip_tmax=skip_tmax, return_iters=return_iters, backend=backend,
             ablate=ablate, grid_steps=grid_steps, n_calls=n_calls,
-            spp_last=spp_last, rr=rr)
+            spp_last=spp_last, rr=rr, passign=passign)
     if backend == "paged":
         return _render_band_paged(
             scene, vp, band_h=band_h, width=width, y0=y0, seed_y0=seed_y0,
@@ -471,7 +481,8 @@ def render_band_core(
 def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
                       number, accum_init, max_depth, pixels_per_lane,
                       skip_tmax, return_iters, backend="mega", ablate=(),
-                      grid_steps=None, n_calls=None, spp_last=None, rr=None):
+                      grid_steps=None, n_calls=None, spp_last=None, rr=None,
+                      passign=None):
     """Megakernel driver: whole loop body in one Pallas call per iteration;
     state in row-major [rows, lanes] arrays so the host loop does zero layout
     conversion.  Semantics identical to the generic path (same RNG streams,
@@ -496,8 +507,15 @@ def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
     rf = mk.f_rows(m_slots)
 
     lane = jnp.arange(n_pad, dtype=jnp.int32)
-    px = lane % width
-    py_local = lane // width
+    if passign is None:
+        pix0 = lane  # slot m=0 pixel = lane (strided map)
+    else:
+        passign = jnp.asarray(passign, jnp.int32)
+        assert passign.shape == (m_slots, n_pad), (
+            f"passign shape {passign.shape} != {(m_slots, n_pad)}")
+        pix0 = passign[0]
+    px = pix0 % width
+    py_local = pix0 // width
     fx0 = (offset_x + px).astype(jnp.float32)
     fy0 = (y0 + py_local).astype(jnp.float32)
     seed0 = rngops.tea_hash(
@@ -514,14 +532,27 @@ def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
     fstate = fstate.at[mk.R_THR : mk.R_THR + 3].set(1.0)
     if accum_init is not None:
         flat = accum_init.reshape(p_total, 3)
-        pad = n * m_slots - p_total
-        if pad:
-            flat = jnp.concatenate([flat, jnp.zeros((pad, 3), jnp.float32)], axis=0)
-        acc_rows = flat.reshape(m_slots, n, 3).transpose(0, 2, 1).reshape(3 * m_slots, n)
-        fstate = fstate.at[mk.R_ACC : mk.R_ACC + 3 * m_slots, :n].set(acc_rows)
+        if passign is None:
+            pad = n * m_slots - p_total
+            if pad:
+                flat = jnp.concatenate(
+                    [flat, jnp.zeros((pad, 3), jnp.float32)], axis=0)
+            acc_rows = flat.reshape(m_slots, n, 3).transpose(0, 2, 1).reshape(
+                3 * m_slots, n)
+            fstate = fstate.at[mk.R_ACC : mk.R_ACC + 3 * m_slots, :n].set(
+                acc_rows)
+        else:
+            # gather the carried accumulator into the assigned slot layout
+            # (sentinel entries read the appended zero row)
+            flatp = jnp.concatenate(
+                [flat, jnp.zeros((1, 3), jnp.float32)], axis=0)
+            acc_rows = jnp.take(flatp, jnp.minimum(passign, p_total), axis=0)
+            fstate = fstate.at[mk.R_ACC : mk.R_ACC + 3 * m_slots, :].set(
+                acc_rows.transpose(0, 2, 1).reshape(3 * m_slots, n_pad))
 
     spp = jnp.int32(spp)
-    alive0 = ((lane < n) & (spp > 0)).astype(jnp.uint32)
+    alive0 = (((lane < n) if passign is None else (pix0 < p_total))
+              & (spp > 0)).astype(jnp.uint32)
     ustate = jnp.zeros((mk.U_ROWS, n_pad), jnp.uint32)
     ustate = ustate.at[mk.U_SEED].set(seed)
     ustate = ustate.at[mk.U_SIDX].set(1)
@@ -566,7 +597,7 @@ def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
             f, u, it = st
             f2, u2 = mk.grid_megakernel_step(
                 scal, vpr, g.gscal, g.gtab, g.gttab, g.ctab, g.atab, f, u,
-                g.ttab,
+                g.ttab, passign,
                 m_slots=m_slots, n_lanes=n, p_total=p_total, width=width,
                 max_depth=max_depth, k_steps=k_steps, j_steps=j_steps,
                 skip_tmax=skip_tmax, ablate=ablate, interpret=interpret,
@@ -594,13 +625,29 @@ def _render_band_mega(scene, vp, *, band_h, width, y0, seed_y0, offset_x, spp,
         cond, body, (fstate, ustate, jnp.int32(0))
     )
 
-    acc = (
-        fstate[mk.R_ACC : mk.R_ACC + 3 * m_slots, :n]
-        .reshape(m_slots, 3, n)
-        .transpose(0, 2, 1)
-        .reshape(m_slots * n, 3)[:p_total]
-        .reshape(band_h, width, 3)
-    )
+    if passign is None:
+        acc = (
+            fstate[mk.R_ACC : mk.R_ACC + 3 * m_slots, :n]
+            .reshape(m_slots, 3, n)
+            .transpose(0, 2, 1)
+            .reshape(m_slots * n, 3)[:p_total]
+            .reshape(band_h, width, 3)
+        )
+    else:
+        # scatter slots back to their assigned pixels (each pixel appears
+        # exactly once in the table; sentinel entries drop)
+        slots = (
+            fstate[mk.R_ACC : mk.R_ACC + 3 * m_slots, :]
+            .reshape(m_slots, 3, n_pad)
+            .transpose(0, 2, 1)
+            .reshape(m_slots * n_pad, 3)
+        )
+        acc = (
+            jnp.zeros((p_total, 3), jnp.float32)
+            .at[passign.reshape(-1)]
+            .set(slots, mode="drop")
+            .reshape(band_h, width, 3)
+        )
     if return_iters:
         return acc, iters
     return acc

@@ -128,6 +128,10 @@ class Renderer:
         )
         self.vp = jax.device_put(viewport_arrays(config_camera(config), w, h))
         self.skip_tmax = tmax_never_binds(self.scene, config_camera(config))
+        # balanced pixel->lane assignment tables per band (runtime/
+        # balance.py), built on demand when config.balance_spp > 0
+        self._passign = None
+        self.balance_stats = None
 
     def _backend_tile(self):
         """Lane-tile width of the wavefront backends (None for XLA paths)."""
@@ -186,6 +190,9 @@ class Renderer:
         else:
             ablate = ()
             grid_steps = None
+        if (cfg.balance_spp and self.backend == "grid"
+                and self._passign is None):
+            self.enable_balance()
         bands = []
         for band_y0 in range(0, h, self.chunk_rows):
             band_h = min(self.chunk_rows, h - band_y0)
@@ -211,11 +218,50 @@ class Renderer:
                     n_calls=None if n_calls is None else np.int32(n_calls),
                     spp_last=None if spp_last is None else np.int32(spp_last),
                     rr=cfg.rr,
+                    passign=(None if self._passign is None
+                             else self._passign.get(band_y0)),
                 )
             )
         import jax.numpy as jnp
 
         return jnp.concatenate(bands, axis=0)
+
+    def enable_balance(self, probe_spp: Optional[int] = None) -> dict:
+        """Measure per-pixel costs (the kernel's iterstats probe) and build
+        a balanced pixel->lane assignment per band (runtime/balance.py).
+
+        The image is BIT-IDENTICAL with or without balancing (assignment
+        invariance — pinned by tests); only the wavefront's straggler wall
+        moves (measured ~1.25 -> ~1.06 max/mean lane cost in fast mode).
+        Returns per-band {max_over_mean, lanes} diagnostics."""
+        from ..ops import gridkernel as _gk
+        from . import balance as bal
+
+        if self.backend != "grid":
+            raise ValueError("balanced assignment is a grid-backend feature")
+        cfg = self.config
+        spp = probe_spp or cfg.balance_spp or 32
+        w, h = cfg.width, cfg.height
+        grid_steps = (_gk.J_STEPS, _gk.K_STEPS, _gk.UNROLL, _gk.FUSE)
+        tables, stats = {}, {}
+        for band_y0 in range(0, h, self.chunk_rows):
+            band_h = min(self.chunk_rows, h - band_y0)
+            cost = bal.measure_cost_map(dict(
+                scene=self.device_scene, vp=self.vp, band_h=band_h,
+                width=w, y0=np.int32(band_y0), seed_y0=np.int32(band_y0),
+                offset_x=np.int32(0), number=np.uint32(0),
+                max_depth=cfg.max_depth, backend="grid",
+                pixels_per_lane=self.pixels_per_lane,
+                skip_tmax=self.skip_tmax, grid_steps=grid_steps,
+                rr=cfg.rr), spp)
+            tab = bal.build_passign(cost, self.pixels_per_lane,
+                                    self._backend_tile())
+            tables[band_y0] = jax.device_put(tab)
+            stats[band_y0] = bal.balance_stats(cost, tab,
+                                               self.pixels_per_lane)
+        self._passign = tables
+        self.balance_stats = stats
+        return stats
 
     def render(self, samples: Optional[int] = None, on_chunk=None):
         """Full render: ``samples`` total spp, split into progressive calls of

@@ -28,6 +28,8 @@ HELP = """\
 --preview                         # Write the running PNG after each call
 --frames <count>                  # Animated frame loop (0 = adaptive window)
 --checkpoint <path>               # Resume/checkpoint progressive renders
+--balance <probe-spp>             # Measured-cost lane balancing (grid;
+                                  # bit-identical image, ~5% faster; 0=off)
 --autotune                        # Tune kernel knobs for this chip (cached)
 --full                            # With --autotune: also sweep TILE
                                   # (cross-process; applied at next import)
@@ -110,6 +112,8 @@ def parse_args(argv):
             extras["_frames"] = _take_num()
         elif a == "--checkpoint":
             extras["_checkpoint"] = _take()
+        elif a == "--balance":
+            extras["balance_spp"] = _take_num()
         elif a == "--autotune":
             extras["_autotune"] = True
         elif a == "--full":

@@ -107,3 +107,23 @@ b, _ = render(ds_p2, "grid", 640, 360, 16)
 print("pitch2 grid-vs-pitch1 diff-frac:",
       float((np.abs(a - b).max(axis=2) > 0).mean()), flush=True)
 print("HW VALIDATION (PITCH) DONE", flush=True)
+
+# 7) balanced pixel assignment (runtime/balance.py): the permuted-table
+#    program must match the default strided map BIT-IDENTICALLY on
+#    hardware (assignment invariance — interpret-mode fp chaos across
+#    graphs does not apply to same-hardware Mosaic programs)
+from raytrace_tpu.ops import gridkernel as _gk
+from raytrace_tpu.runtime.balance import build_passign, measure_cost_map
+
+_kwb = dict(scene=book, vp=vp_cache[(640, 360)], band_h=360, width=640,
+            y0=np.int32(0), seed_y0=np.int32(0), offset_x=np.int32(0),
+            spp=np.int32(16), number=np.uint32(0), max_depth=50,
+            backend="grid", pixels_per_lane=16, skip_tmax=True,
+            rr=(1, 16, 0.05))
+_cost = measure_cost_map(_kwb, 8)
+_tab = build_passign(_cost, 16, _gk.TILE)
+a = np.asarray(render_band(**_kwb))
+b = np.asarray(render_band(**_kwb, passign=_tab))
+print("balanced-vs-strided diff px:",
+      int((np.abs(a - b).max(axis=2) > 0).sum()), "/", 640 * 360, flush=True)
+print("HW VALIDATION (BALANCE) DONE", flush=True)
