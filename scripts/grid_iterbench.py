@@ -14,7 +14,13 @@ Variants are compiled up front and timed in interleaved rounds (median
 reported) per the repo's measurement methodology.  Images are invalid under
 cut_* — this is a cost probe only.
 
-Usage: [VARIANTS=base,cut_fetch,...] [INVOKES=300] python scripts/grid_iterbench.py
+Usage: [VARIANTS=base,cut_fetch,...] [INVOKES=300] [SWEEP_MODE=fast]
+       python scripts/grid_iterbench.py
+
+SWEEP_MODE=fast attributes the PRODUCTION-mode program (Russian-roulette
+rows compiled in; the RR block is static on the ``rr`` arg) — dead lanes
+still execute the masked RR ops, so section deltas measure the fast
+kernel's true per-iteration critical path.
 """
 
 import functools
@@ -42,6 +48,12 @@ VARIANTS = os.environ.get(
     "VARIANTS",
     "base,cut_fetch,cut_resolve,cut_quad,cut_shade,cut_tea,cut_camera,"
     "cut_globals,cut_init").split(",")
+MODE = os.environ.get("SWEEP_MODE", "exact")
+RR = None
+if MODE == "fast":
+    from raytrace_tpu import config as _cfg
+
+    RR = (_cfg.RR_START_DEPTH, _cfg.RR_CAP_DEPTH, _cfg.RR_PMIN)
 
 # PITCH env: attribute the iteration at a coarse-pitch operating point too
 ds = prepare_scene(generate_random_scene(0.0),
@@ -85,7 +97,7 @@ def _run_device(f, u, *, ablate, invokes):
             scal, vpr, gscal, gtab, gttab, ctab, atab, f, u,
             m_slots=M, n_lanes=n, p_total=p_total, width=W,
             max_depth=50, skip_tmax=True, ablate=ablate,
-            five=five, n_slots=n_slots)
+            five=five, n_slots=n_slots, rr=RR)
 
     return jax.lax.fori_loop(0, invokes, body, (f, u))
 
