@@ -21,7 +21,7 @@ for f in tests/test_*.py; do
     rc=$?
     if [ $rc -eq 0 ]; then ok=1; break; fi
     case $rc in
-      134|139) echo "$f attempt $i crashed (rc=$rc); retrying" >&2 ;;
+      132|134|139) echo "$f attempt $i crashed (rc=$rc); retrying" >&2 ;;
       *) echo "$f FAILED (rc=$rc)" >&2; overall=$rc; ok=1; break ;;
     esac
   done

@@ -32,8 +32,34 @@ jax.config.update("jax_num_cpu_devices", 8)
 # nondeterministically on large fresh executables (CLAUDE.md) — reads are
 # always safe.  scripts/run_tests.sh warms the cache on attempt 1 (writes
 # on) and falls back to writes-off retries for a guaranteed green run.
-_cache = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
-_cache.mkdir(exist_ok=True)
+#
+# The cache dir is keyed by this host's CPU feature flags: XLA's cache key
+# does NOT include host machine features, so an entry AOT-compiled on a
+# different host loads here with different codegen (fma contraction
+# differs) — mixing such loads with fresh compiles broke cross-graph
+# bitwise tests and can SIGILL outright (CLAUDE.md "prefer-no-gather"
+# note).  A per-microarch subdirectory makes that mix impossible: a new
+# host starts cold and stays self-consistent.
+
+
+def _host_tag():
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine()
+
+
+_cache = (pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+          / f"cpu-{_host_tag()}")
+_cache.mkdir(parents=True, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", str(_cache))
 if os.environ.get("RAYTRACE_TESTS_CACHE_WRITES", "1") == "1":
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
