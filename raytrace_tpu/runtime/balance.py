@@ -27,13 +27,22 @@ from typing import Optional
 import numpy as np
 
 
-def build_passign(cost: np.ndarray, m_slots: int, tile: int) -> np.ndarray:
-    """Serpentine-deal pixels to lanes by measured cost.
+def build_passign(cost: np.ndarray, m_slots: int, tile: int,
+                  method: str = "lpt") -> np.ndarray:
+    """Deal pixels to lanes by measured cost.
 
     ``cost``: per-pixel cost, shape [band_h, width] or flat [p_total].
     Returns an i32 [m_slots, n_pad] table of pixel ids; entries that carry
     no pixel (padding lanes / the short last pass) hold the ``p_total``
     sentinel the kernel treats as invalid.
+
+    ``method``:
+      - "lpt" (default): pass-sorted greedy deal — each pass hands the
+        next ``n`` cost-sorted pixels heaviest-first to lanes in ascending
+        running-total order (LPT restricted to the table's one-pixel-per-
+        pass shape).  Measured held-out max/mean below the serpentine's.
+      - "serpentine": boustrophedon deal over the cost-sorted list (the
+        original r4 policy; kept for A/Bs).
     """
     cost = np.asarray(cost, np.float64).ravel()
     p_total = cost.size
@@ -42,13 +51,25 @@ def build_passign(cost: np.ndarray, m_slots: int, tile: int) -> np.ndarray:
     n_pad = -(-n // tile) * tile
 
     order = np.argsort(-cost, kind="stable")  # expensive pixels first
-    ranks = np.arange(p_total)
-    pass_i = ranks // n
-    col = ranks % n
-    lane_of_rank = np.where(pass_i % 2 == 0, col, n - 1 - col)
-
     table = np.full((m_slots, n_pad), p_total, np.int32)
-    table[pass_i, lane_of_rank] = order
+    if method == "serpentine":
+        ranks = np.arange(p_total)
+        pass_i = ranks // n
+        col = ranks % n
+        lane_of_rank = np.where(pass_i % 2 == 0, col, n - 1 - col)
+        table[pass_i, lane_of_rank] = order
+    elif method == "lpt":
+        totals = np.zeros(n, np.float64)
+        sorted_cost = cost[order]
+        for p in range(m_slots):
+            chunk = order[p * n : (p + 1) * n]
+            if chunk.size == 0:
+                break
+            lanes = np.argsort(totals[: n], kind="stable")[: chunk.size]
+            table[p, lanes] = chunk
+            totals[lanes] += sorted_cost[p * n : p * n + chunk.size]
+    else:
+        raise ValueError(f"unknown balance method {method!r}")
     return table
 
 

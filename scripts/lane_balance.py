@@ -94,10 +94,23 @@ def main() -> int:
     serp_assign[order] = lane_of_rank
     serp = lane_stats(cost, serp_assign, n)
 
+    # pass-sorted greedy LPT (runtime/balance.py method="lpt"): each pass
+    # hands the next n sorted pixels heaviest-first to the lightest lanes
+    lpt_assign = np.empty(p_total, np.int64)
+    totals = np.zeros(n, np.float64)
+    sorted_cost = cost[order]
+    for p in range(-(-p_total // n)):
+        chunk = order[p * n : (p + 1) * n]
+        lanes = np.argsort(totals, kind="stable")[: chunk.size]
+        lpt_assign[chunk] = lanes
+        totals[lanes] += sorted_cost[p * n : p * n + chunk.size]
+    lpt = lane_stats(cost, lpt_assign, n)
+
     # held-out evaluation: assignment built on probe 0's NOISY estimates,
     # lane totals evaluated with probe 1's independent streams — the
     # balance a production render would actually see
     serp_held = lane_stats(cost_b, serp_assign, n)
+    lpt_held = lane_stats(cost_b, lpt_assign, n)
     strided_b = lane_stats(cost_b, pix % n, n)
 
     print(f"strided    max/mean {strided['max/mean']:.4f}  "
@@ -106,8 +119,13 @@ def main() -> int:
           f"p99/mean {serp['p99/mean']:.4f}  (in-sample)")
     print(f"serpentine max/mean {serp_held['max/mean']:.4f}  "
           f"p99/mean {serp_held['p99/mean']:.4f}  (held-out probe)")
-    print(f"predicted issued-iteration saving (held-out): "
-          f"{100*(1-serp_held['max/mean']/strided_b['max/mean']):.1f}%")
+    print(f"lpt        max/mean {lpt['max/mean']:.4f}  "
+          f"p99/mean {lpt['p99/mean']:.4f}  (in-sample)")
+    print(f"lpt        max/mean {lpt_held['max/mean']:.4f}  "
+          f"p99/mean {lpt_held['p99/mean']:.4f}  (held-out probe)")
+    print(f"predicted issued-iteration saving vs strided (held-out): "
+          f"serpentine {100*(1-serp_held['max/mean']/strided_b['max/mean']):.1f}%  "
+          f"lpt {100*(1-lpt_held['max/mean']/strided_b['max/mean']):.1f}%")
     return 0
 
 
