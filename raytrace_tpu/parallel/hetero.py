@@ -69,6 +69,26 @@ class HeteroRenderer:
         else:
             self.pixels_per_lane = int(np.clip((config.width * h // max(self.n, 1)) >> 15, 1, 64))
 
+    def set_scene(self, scene: SceneArrays) -> None:
+        """Swap the scene (animation: a new `generate_random_scene(t)` per
+        frame, ray_trace.cpp:665 scene_time).  Re-prepares device tables on
+        every device; band split and tuner state are kept — the reference
+        likewise animates without resetting its tuner history."""
+        self.scene = scene
+        ds = prepare_scene(scene)
+        self.backend = resolve_backend(self.config.backend, ds)
+        self.device_scenes = [jax.device_put(ds, d) for d in self.devices]
+        self.skip_tmax = tmax_never_binds(scene, config_camera(self.config))
+
+    def set_camera(self, config: RenderConfig) -> None:
+        """Adopt a config with a new camera (viewer steering input); rebuilds
+        the viewport arrays on every device."""
+        self.config = config
+        cam = config_camera(config)
+        self.vp = viewport_arrays(cam, config.width, config.height)
+        self.device_vps = [jax.device_put(self.vp, d) for d in self.devices]
+        self.skip_tmax = tmax_never_binds(self.scene, cam)
+
     def _offsets(self) -> List[int]:
         out, acc = [], 0
         for r in self.rows:

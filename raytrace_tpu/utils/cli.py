@@ -33,7 +33,11 @@ HELP = """\
 --autotune                        # Tune kernel knobs for this chip (cached)
 --full                            # With --autotune: also sweep TILE
                                   # (cross-process; applied at next import)
---serve <port>                    # Live progressive HTTP viewer (0 = auto)
+--serve <port>                    # Live progressive HTTP viewer (0 = auto);
+                                  # with --gpus N>1 and/or --frames: the
+                                  # animated multi-device production loop
+                                  # (scene animation + per-device bands +
+                                  # live tuner re-splits in one process)
 """
 
 
@@ -168,17 +172,28 @@ def main(argv=None):
             # live progressive viewer + camera input (C8: the headless
             # analogue of the reference's per-GPU windows, window.hpp:29-54)
             from ..config import RenderConfig
-            from ..runtime.viewer import LiveViewer
 
             cfg = RenderConfig(
                 samples=kw["samples"], width=kw["width"], height=kw["height"],
+                chips=kw["gpu_count"],
                 max_depth=kw.get("max_depth", 50),
                 backend=kw.get("backend", "auto"),
                 samples_per_call=kw.get("samples_per_call"),
                 mode=kw.get("mode", "exact"),
                 scene_time=kw.get("scene_time", 0.0),
             )
-            LiveViewer(cfg, port=serve).run()
+            if kw["gpu_count"] > 1 or frames is not None:
+                # the reference's actual operating mode: animated scene +
+                # per-device bands + live tuner re-splits in ONE loop
+                # (ray_trace.cpp:579-776), served over HTTP
+                from ..runtime.production import ProductionLoop
+
+                ProductionLoop(cfg, port=serve).run(
+                    max_frames=frames if frames else None)
+            else:
+                from ..runtime.viewer import LiveViewer
+
+                LiveViewer(cfg, port=serve).run()
         elif checkpoint is not None:
             from ..config import RenderConfig
             from ..ops.image import accum_to_u8
