@@ -895,11 +895,57 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, gttab_ref, ctab_ref,
         # (_iterate's speculative cell chain)
         ctab = jnp.concatenate([ctab] * j_steps, axis=0)
 
+    # ---- per-tile dead-skip (drain harvest, VERDICT r4 item 1) ----------
+    # Dead-lane state is a FIXED POINT of _iterate (every state write is
+    # masked by alive/marching/renew, and the fresh-seed recompute's
+    # consumers are renew-masked), so a tile whose lanes are all dead can
+    # pass its state through untouched — bit-identical by construction,
+    # and it turns the drain's dead tiles from K full iterations into one
+    # any-reduce + the block DMA.  Pays off at dispatch tails and, with
+    # the driver's straggler compaction (trace.py), throughout the drain.
+    # "noskipdead" ablate switch restores the unconditional body for A/Bs.
+    # program_id must be read OUTSIDE the pl.when gate: inside the cond's
+    # sub-jaxpr the interpret-mode lowering can't substitute it
+    # (NotImplementedError: no CPU rule for 'program_id')
+    pid = pl.program_id(0)
+    if "noskipdead" not in ablate:
+        tile_alive = jnp.any(uin_ref[U_ALIVE : U_ALIVE + 1, :] != 0)
+
+        @pl.when(jnp.logical_not(tile_alive))
+        def _passthrough():
+            fout_ref[:, :] = fin_ref[:, :]
+            uout_ref[:, :] = uin_ref[:, :]
+
+        run_gate = pl.when(tile_alive)
+    else:
+        def run_gate(fn):
+            return fn()
+
+    @run_gate
+    def _run_body():
+        _kernel_body(
+            scal_ref, vpr_ref, gscal_ref, gtab_ref, gttab_ref, ctab, atab,
+            fin_ref, uin_ref, fout_ref, uout_ref, acc_ref, fresh_ref,
+            ttab=ttab, m_slots=m_slots, n_lanes=n_lanes, p_total=p_total,
+            width=width, max_depth=max_depth, tmin=tmin, tmax=tmax,
+            k_steps=k_steps, j_steps=j_steps, skip_tmax=skip_tmax, cb=cb,
+            ab=ab, ablate=ablate, unroll=unroll, fuse=fuse, groups=groups,
+            five=five, n_slots=n_slots, rr=rr, passign_ref=passign_ref,
+            pnext_ref=pnext_ref, gw=gw, pid=pid)
+
+
+def _kernel_body(scal_ref, vpr_ref, gscal_ref, gtab_ref, gttab_ref, ctab,
+                 atab, fin_ref, uin_ref, fout_ref, uout_ref, acc_ref,
+                 fresh_ref, *, ttab, m_slots, n_lanes, p_total, width,
+                 max_depth, tmin, tmax, k_steps, j_steps, skip_tmax, cb, ab,
+                 ablate, unroll, fuse, groups, five, n_slots, rr,
+                 passign_ref, pnext_ref, gw, pid):
+
     def _load(g):
         cs = slice(g * gw, (g + 1) * gw)
         lane_g = (
             jax.lax.broadcasted_iota(jnp.int32, (1, gw), 1)
-            + pl.program_id(0) * TILE + g * gw
+            + pid * TILE + g * gw
         )
 
         def fr(r):

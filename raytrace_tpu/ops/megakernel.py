@@ -374,10 +374,35 @@ def _iterate(st, acc, lane, scal_ref, vpr_ref, table_ref, atab_ref, *,
 def _kernel(scal_ref, vpr_ref, table_ref, atab_ref, fin_ref, uin_ref,
             fout_ref, uout_ref, *, m_slots, n_lanes, p_total, width, max_depth,
             tmin, tmax, k_steps, skip_tmax, rr=None):
+    # per-tile dead-skip (see gridkernel._kernel): a fully dead tile is a
+    # fixed point, so pass state through and skip the k_steps body.
+    # Output-identical — dead lanes accumulate nothing and never
+    # resurrect.  program_id is read outside the gate (interpret-mode
+    # lowering can't substitute it inside the cond's sub-jaxpr).
     lane = (
         jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
         + pl.program_id(0) * TILE
     )
+    tile_alive = jnp.any(uin_ref[U_ALIVE : U_ALIVE + 1, :] != 0)
+
+    @pl.when(jnp.logical_not(tile_alive))
+    def _passthrough():
+        fout_ref[:, :] = fin_ref[:, :]
+        uout_ref[:, :] = uin_ref[:, :]
+
+    @pl.when(tile_alive)
+    def _run_body():
+        _kernel_body(
+            scal_ref, vpr_ref, table_ref, atab_ref, fin_ref, uin_ref,
+            fout_ref, uout_ref, lane=lane, m_slots=m_slots,
+            n_lanes=n_lanes, p_total=p_total, width=width,
+            max_depth=max_depth, tmin=tmin, tmax=tmax, k_steps=k_steps,
+            skip_tmax=skip_tmax, rr=rr)
+
+
+def _kernel_body(scal_ref, vpr_ref, table_ref, atab_ref, fin_ref, uin_ref,
+                 fout_ref, uout_ref, *, lane, m_slots, n_lanes, p_total,
+                 width, max_depth, tmin, tmax, k_steps, skip_tmax, rr):
 
     ox, oy, oz = _vec3(fin_ref, R_O)
     dx, dy, dz = _vec3(fin_ref, R_D)
