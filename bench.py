@@ -212,11 +212,76 @@ def main() -> int:
             (sorted(t_many)[1] - sorted(t_one)[1]) / (reps - 1) * 1e3)
 
     # timed probe to estimate throughput; large enough that the wavefront
-    # tail (which amortizes with spp) doesn't skew the extrapolation
+    # tail (which amortizes with spp) doesn't skew the extrapolation.
+    # The grid probe also returns the wavefront's executed iteration counts,
+    # making kernel utilization a per-run artifact (VERDICT r4 item 5):
+    # a regression in scheduling efficiency or per-iteration cost shows up
+    # as a flagged number here, not only as prose in docs/PERFORMANCE.md.
     probe_spp = int(os.environ.get("BENCH_PROBE_SPP", 256))
-    t0 = time.perf_counter()
-    np.asarray(r.render_call(probe_spp))
-    probe_t = time.perf_counter() - t0
+    utilization = None
+    if r.backend == "grid":
+        t0 = time.perf_counter()
+        # fetching the iteration counters (4 bytes each) inside render_call
+        # syncs on the end of device execution WITHOUT the ~1 s full-image
+        # relay readback (24 MB at ~25 MB/s) — t_exec is the honest device-
+        # side figure for per-iteration cost, while probe_t keeps the
+        # historical semantics (includes readback) so samples_per_sec stays
+        # comparable across rounds' artifacts.
+        acc_p, tile_iters, lane_slots = r.render_call(
+            probe_spp, return_iters=True)
+        t_exec = time.perf_counter() - t0
+        np.asarray(acc_p)
+        probe_t = time.perf_counter() - t0
+        probe_samples = width * height * probe_spp
+        # busy issued iterations/sample: the balance probe's cost-map mean
+        # (the production kernel measuring itself under the production
+        # operating point, runtime/balance.py)
+        issued = None
+        if r.balance_stats:
+            vals = [s["issued_per_sample"] for s in r.balance_stats.values()
+                    if "issued_per_sample" in s]
+            issued = sum(vals) / len(vals) if vals else None
+        # gather roofline: the kernel's per-chunk dynamic_gather rows
+        # (march fetch j*ctab + winner resolve atab [+ ttab]) at the
+        # measured pipelined floor ~0.72 ns/row (scripts/bench_gather.py:
+        # [32,128] chunks pipeline to ~22 ns = 0.69 ns/row; the r3
+        # attribution's 160-row paired fetch measured ~124 ns = 0.77).
+        g = r.device_scene.grid
+        from raytrace_tpu.ops.gridkernel import TILE as _TILE
+        from raytrace_tpu.ops.gridkernel import J_STEPS as _J
+
+        rows_per_chunk = (_J * g.ctab.shape[0] + g.atab.shape[0]
+                          + (g.ttab.shape[0] if g.ttab is not None else 0))
+        gather_floor_us = rows_per_chunk * (_TILE // 128) * 0.72e-3
+        us_per_tile_iter = t_exec * 1e6 / max(tile_iters, 1)
+        utilization = {
+            # busy lane-iterations per sample (cost-map mean; fast mode's
+            # useful floor is ~2.0 by the oracle replay, exact ~3.4)
+            "issued_iters_per_sample": (
+                None if issued is None else round(issued, 3)),
+            # fraction of issued lane-iteration slots doing live work:
+            # busy iterations / (executed iterations x padded lanes) —
+            # straggler drain, dead padding lanes, and dispatch ramp all
+            # show up here
+            "sched_efficiency": (
+                None if issued is None else
+                round(issued * probe_samples / max(lane_slots, 1), 4)),
+            "us_per_tile_iter": round(us_per_tile_iter, 3),
+            # distance to the measured dynamic_gather pipeline floor: the
+            # gather share of a tile-iteration at the floor cost.  A
+            # regression in the fetch path DROPS this number.
+            "gather_floor_frac": round(gather_floor_us / us_per_tile_iter, 3),
+            "gather_rows_per_chunk": int(rows_per_chunk),
+            # device-execution sample rate (no readback) — the number the
+            # full-render wall time actually tracks; samples_per_sec above
+            # keeps the historical includes-readback semantics
+            "ns_per_sample_exec": round(t_exec * 1e9 / probe_samples, 3),
+            "probe_spp": probe_spp,
+        }
+    else:
+        t0 = time.perf_counter()
+        np.asarray(r.render_call(probe_spp))
+        probe_t = time.perf_counter() - t0
     sps = width * height * probe_spp / probe_t
     projected = width * height * target_spp / sps
 
@@ -281,6 +346,7 @@ def main() -> int:
                 "measured": measured,
                 "backend": r.backend,
                 "mode": mode,
+                "utilization": utilization,
                 "fast_check": f_check,
                 "numeric_check": numeric_check,
                 "numeric_check_multitile": numeric_check_mt,

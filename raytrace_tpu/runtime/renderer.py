@@ -151,7 +151,7 @@ class Renderer:
         self.backend = resolve_backend(self.config.backend, self.device_scene)
 
     def render_call(self, spp: int, number: int = 0, accum=None,
-                    n_calls=None, spp_last=None):
+                    n_calls=None, spp_last=None, return_iters: bool = False):
         """One render call (= one traceRaysKHR dispatch): spp samples/pixel.
 
         Returns the accumulated color sum [H, W, 3] (device array, pre-gamma).
@@ -160,6 +160,12 @@ class Renderer:
         calls into this one device dispatch (numbers number..number+n_calls-1,
         ``spp`` each, ``spp_last`` for the final one) — bit-identical to the
         same calls issued separately, minus the per-call wavefront drains.
+        ``return_iters``: additionally return the summed wavefront iteration
+        counts — (accum, tile_iters, lane_slots) where ``tile_iters`` is the
+        total tile-iterations executed (while-loop iterations x lane-tiles,
+        summed over bands) and ``lane_slots`` the total lane-iteration slots
+        (iterations x padded lanes) — the denominator of the scheduling-
+        efficiency artifact in bench.py (VERDICT r4 item 5).
         """
         cfg = self.config
         w, h = cfg.width, cfg.height
@@ -194,37 +200,52 @@ class Renderer:
                 and self._passign is None):
             self.enable_balance()
         bands = []
+        tile_iters = 0
+        lane_slots = 0
+        tile = self._backend_tile() or 1
         for band_y0 in range(0, h, self.chunk_rows):
             band_h = min(self.chunk_rows, h - band_y0)
             init = None if accum is None else accum[band_y0 : band_y0 + band_h]
-            bands.append(
-                render_band(
-                    self.device_scene,
-                    self.vp,
-                    band_h=band_h,
-                    width=w,
-                    y0=np.int32(band_y0),
-                    seed_y0=np.int32(band_y0),  # global coords: chunk-invariant
-                    offset_x=np.int32(0),
-                    spp=np.int32(spp),
-                    number=np.uint32(number),
-                    accum_init=init,
-                    max_depth=cfg.max_depth,
-                    backend=self.backend,
-                    pixels_per_lane=self.pixels_per_lane,
-                    skip_tmax=self.skip_tmax,
-                    ablate=ablate,
-                    grid_steps=grid_steps,
-                    n_calls=None if n_calls is None else np.int32(n_calls),
-                    spp_last=None if spp_last is None else np.int32(spp_last),
-                    rr=cfg.rr,
-                    passign=(None if self._passign is None
-                             else self._passign.get(band_y0)),
-                )
+            out = render_band(
+                self.device_scene,
+                self.vp,
+                band_h=band_h,
+                width=w,
+                y0=np.int32(band_y0),
+                seed_y0=np.int32(band_y0),  # global coords: chunk-invariant
+                offset_x=np.int32(0),
+                spp=np.int32(spp),
+                number=np.uint32(number),
+                accum_init=init,
+                max_depth=cfg.max_depth,
+                backend=self.backend,
+                pixels_per_lane=self.pixels_per_lane,
+                skip_tmax=self.skip_tmax,
+                ablate=ablate,
+                grid_steps=grid_steps,
+                n_calls=None if n_calls is None else np.int32(n_calls),
+                spp_last=None if spp_last is None else np.int32(spp_last),
+                rr=cfg.rr,
+                passign=(None if self._passign is None
+                         else self._passign.get(band_y0)),
+                return_iters=return_iters,
             )
+            if return_iters:
+                out, iters = out
+                p_total = band_h * w
+                m = max(1, min(self.pixels_per_lane, p_total))
+                n_lanes = -(-p_total // m)  # ceil: trace.py's lane count
+                n_pad = -(-n_lanes // tile) * tile  # padded to lane tiles
+                iters = int(iters)
+                tile_iters += iters * (n_pad // tile)
+                lane_slots += iters * n_pad
+            bands.append(out)
         import jax.numpy as jnp
 
-        return jnp.concatenate(bands, axis=0)
+        acc = jnp.concatenate(bands, axis=0)
+        if return_iters:
+            return acc, tile_iters, lane_slots
+        return acc
 
     def enable_balance(self, probe_spp: Optional[int] = None) -> dict:
         """Measure per-pixel costs (the kernel's iterstats probe) and build
@@ -259,6 +280,10 @@ class Renderer:
             tables[band_y0] = jax.device_put(tab)
             stats[band_y0] = bal.balance_stats(cost, tab,
                                                self.pixels_per_lane)
+            # mean issued (busy) iterations per sample from the probe —
+            # the numerator of bench.py's scheduling-efficiency artifact
+            stats[band_y0]["issued_per_sample"] = float(
+                np.asarray(cost, np.float64).mean() / spp)
         self._passign = tables
         self.balance_stats = stats
         return stats
