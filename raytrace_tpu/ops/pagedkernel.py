@@ -234,9 +234,9 @@ def _ab_select(at, lid, *, ab, five, textured):
 
 
 def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
-             attrs_ref, *, m_slots, n_lanes, p_total, width, max_depth,
-             tmin, tmax, skip_tmax, n_slots, ab, ablate, five=False,
-             textured=False, carry=True, rr=None):
+             lids_ref, attrs_ref, *, m_slots, n_lanes, p_total, width,
+             max_depth, tmin, tmax, skip_tmax, n_slots, ab, ablate,
+             five=False, textured=False, carry=True, rr=None):
     (ox, oy, oz, dx, dy, dz, fx, fy, tx_, ty_, tz_,
      t_b, t_end, t_nx, t_nz, bkey, wcx, wcz, cr_, cg_, cb2_,
      seed, mrow, sidx, depth, alive_i, march_i, cell, lane0) = st[:29]
@@ -344,16 +344,21 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
     sxm = icx >> 3
     szm = icz >> 4
     fc = ((icx & 7) << 4) | (icz & 15)
-    # geom slot layout: 4 values (cx, cz, kc, lid) with cy a gscal scalar
-    # for uniform-height fields; 5 values (cx, cy, cz, kc, lid) otherwise
-    # (models/paged_grid.py has_cy)
-    w = 5 if five else 4
+    # geom slot layout: 3 values (cx, cz, kc) with cy a gscal scalar for
+    # uniform-height fields; 4 values (cx, cy, cz, kc) otherwise
+    # (models/paged_grid.py has_cy).  The page-local sphere id rides its
+    # own split-out table (lids_ref): the march loop's per-trip gather
+    # shrinks by the lid row per slot — 25%/20% fewer rows on the hot
+    # fetch (its serial share measured 36-50%, docs/PERFORMANCE.md) — and
+    # the lid is fetched below in a mostly-zero-trip box loop masked by
+    # "winner improved this cell" (~once per segment).
+    wq = 4 if five else 3
     dwalk = "distinctwalk" in ablate
     if cut("fetch"):
-        vals = jax.lax.broadcast_in_dim(ox, (w * n_slots, ox.shape[1]), (0, 1))
+        vals = jax.lax.broadcast_in_dim(ox, (wq * n_slots, ox.shape[1]), (0, 1))
     else:
         vals = _page_fetch(geom_ref, sxm, szm, nsczm_i, fc, marching,
-                           n_rows=w * n_slots, poison_rows=(w - 2, w),
+                           n_rows=wq * n_slots, poison_rows=(wq - 1, wq),
                            distinct=dwalk)
     # bkey packs the winner as ((sx<<5)|sz)<<9 | lid — page coords in
     # separate bit fields (not the linear page id) so winner resolution
@@ -361,23 +366,41 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
     # Max value (63,31,511) = 2^20-1 < _TAG, exact in f32.
     pkey = (sxm * 32 + szm).astype(jnp.float32) * np.float32(512.0)
     upd_any = None
+    wslot = jnp.zeros_like(cell)
     for s in range(n_slots):
-        b0 = w * s
+        b0 = wq * s
         s_cy = vals[b0 + 1 : b0 + 2, :] if five else cy_u
         if cut("quad"):
             tc = vals[b0 : b0 + 1, :] + oy
         else:
             tc = _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a,
                             vals[b0 : b0 + 1, :], s_cy,
-                            vals[b0 + w - 3 : b0 + w - 2, :],
-                            vals[b0 + w - 2 : b0 + w - 1, :],
+                            vals[b0 + wq - 2 : b0 + wq - 1, :],
+                            vals[b0 + wq - 1 : b0 + wq, :],
                             tmin=tmin, tmax=tmax, skip_tmax=skip_tmax)
         upd = marching & (tc < t_b)
         t_b = jnp.where(upd, tc, t_b)
-        bkey = jnp.where(upd, pkey + vals[b0 + w - 1 : b0 + w, :], bkey)
+        wslot = jnp.where(upd, s, wslot)
         wcx = jnp.where(upd, vals[b0 : b0 + 1, :], wcx)
-        wcz = jnp.where(upd, vals[b0 + w - 3 : b0 + w - 2, :], wcz)
+        wcz = jnp.where(upd, vals[b0 + wq - 2 : b0 + wq - 1, :], wcz)
         upd_any = upd if upd_any is None else (upd_any | upd)
+
+    # deferred winner lid: fetch the page's lid rows only where a winner
+    # improved (same box-loop machinery; empty chunks collapse to zero
+    # trips), then select the winning slot's row.  bkey bits — and the
+    # image — are identical to the old fused layout: the lid VALUE added
+    # to pkey is the same float either way.
+    lmask = marching if freeze else upd_any
+    if cut("fetch"):
+        lvals = jax.lax.broadcast_in_dim(ox, (n_slots, ox.shape[1]), (0, 1))
+    else:
+        lvals = _page_fetch(lids_ref, sxm, szm, nsczm_i, fc, lmask,
+                            n_rows=n_slots, poison_rows=None,
+                            distinct=dwalk)
+    lid_w = lvals[0:1, :]
+    for s in range(1, n_slots):
+        lid_w = jnp.where(wslot == s, lvals[s : s + 1, :], lid_w)
+    bkey = jnp.where(upd_any, pkey + lid_w, bkey)
 
     na = n_carry(five, textured)
     if carry:
@@ -619,11 +642,49 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
     )
 
 
-def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, attrs_ref,
-            fin_ref, uin_ref, fout_ref, uout_ref, acc_ref, *, m_slots,
-            n_lanes, p_total, width, max_depth, tmin, tmax, k_steps,
-            n_slots, ab, skip_tmax, ablate, five=False, textured=False,
-            carry=True, rr=None):
+def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, lids_ref,
+            attrs_ref, fin_ref, uin_ref, fout_ref, uout_ref, acc_ref, *,
+            m_slots, n_lanes, p_total, width, max_depth, tmin, tmax,
+            k_steps, n_slots, ab, skip_tmax, ablate, five=False,
+            textured=False, carry=True, rr=None):
+    # ---- per-tile dead-skip (drain harvest, VERDICT r4 item 1) ----------
+    # The driver's rebucket sorts dead lanes last (trace.py _pred_page key
+    # 4097), so drain-phase dead lanes compact into whole dead tiles; a
+    # dead tile passes its state through untouched (one any-reduce + block
+    # DMA instead of k_steps full iterations).  Output-identical: the
+    # driver reads only the acc rows (invariant for dead lanes — they
+    # accumulate nothing) and U_LANE0 (never rewritten), and dead lanes
+    # never resurrect (alive = marching | continuing, both false).
+    if "noskipdead" not in ablate:
+        tile_alive = jnp.any(uin_ref[U_ALIVE : U_ALIVE + 1, :] != 0)
+
+        @pl.when(jnp.logical_not(tile_alive))
+        def _passthrough():
+            fout_ref[:, :] = fin_ref[:, :]
+            uout_ref[:, :] = uin_ref[:, :]
+
+        run_gate = pl.when(tile_alive)
+    else:
+        def run_gate(fn):
+            return fn()
+
+    @run_gate
+    def _run_body():
+        _kernel_body(
+            scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, lids_ref,
+            attrs_ref,
+            fin_ref, uin_ref, fout_ref, uout_ref, acc_ref, m_slots=m_slots,
+            n_lanes=n_lanes, p_total=p_total, width=width,
+            max_depth=max_depth, tmin=tmin, tmax=tmax, k_steps=k_steps,
+            n_slots=n_slots, ab=ab, skip_tmax=skip_tmax, ablate=ablate,
+            five=five, textured=textured, carry=carry, rr=rr)
+
+
+def _kernel_body(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, lids_ref,
+                 attrs_ref, fin_ref, uin_ref, fout_ref, uout_ref, acc_ref, *,
+                 m_slots, n_lanes, p_total, width, max_depth, tmin, tmax,
+                 k_steps, n_slots, ab, skip_tmax, ablate, five, textured,
+                 carry, rr):
     a0 = R_ACC + 3 * m_slots  # carried attr rows live after the acc slots
     nc = n_carry(five, textured) if carry else 0
     st = (
@@ -655,7 +716,7 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, attrs_ref,
     step = functools.partial(
         _iterate, acc_ref=acc_ref, scal_ref=scal_ref, vpr_ref=vpr_ref,
         gscal_ref=gscal_ref, gtab_ref=gtab_ref, geom_ref=geom_ref,
-        attrs_ref=attrs_ref, m_slots=m_slots, n_lanes=n_lanes,
+        lids_ref=lids_ref, attrs_ref=attrs_ref, m_slots=m_slots, n_lanes=n_lanes,
         p_total=p_total, width=width, max_depth=max_depth, tmin=tmin,
         tmax=tmax, skip_tmax=skip_tmax, n_slots=n_slots, ab=ab,
         ablate=ablate, five=five, textured=textured, carry=carry, rr=rr,
@@ -699,7 +760,7 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, attrs_ref,
         "rr",
     ),
 )
-def paged_megakernel_step(scal, vpr, gscal, gtab, geom, attrs, fstate,
+def paged_megakernel_step(scal, vpr, gscal, gtab, geom, lids, attrs, fstate,
                           ustate, *, m_slots, n_lanes, p_total, width,
                           max_depth, k_steps=K_STEPS, skip_tmax=False,
                           ablate=(), interpret=False, five=False,
@@ -708,7 +769,9 @@ def paged_megakernel_step(scal, vpr, gscal, gtab, geom, attrs, fstate,
     n_pad = fstate.shape[1]
     rf = pf_rows(m_slots, n_carry(five, textured) if carry else 0)
     grid = n_pad // TILE
-    n_slots = geom.shape[1] // (5 if five else 4)
+    n_slots = lids.shape[1]
+    assert geom.shape[1] == (4 if five else 3) * n_slots, (
+        geom.shape, lids.shape, five)
     ab = attrs.shape[1] // ((6 if five else 5) + (4 if textured else 0))
     kernel = functools.partial(
         _kernel, m_slots=m_slots, n_lanes=n_lanes, p_total=p_total,
@@ -727,6 +790,7 @@ def paged_megakernel_step(scal, vpr, gscal, gtab, geom, attrs, fstate,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # gscal (1, 16) f32
             pl.BlockSpec(memory_space=pltpu.SMEM),  # gtab (Gp, 16) f32
             pl.BlockSpec(geom.shape, lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(lids.shape, lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(attrs.shape, lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rf, TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
             pl.BlockSpec((U_ROWS, TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
@@ -739,8 +803,8 @@ def paged_megakernel_step(scal, vpr, gscal, gtab, geom, attrs, fstate,
             jax.ShapeDtypeStruct((rf, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((U_ROWS, n_pad), jnp.uint32),
         ],
-        input_output_aliases={6: 0, 7: 1},  # buffer reuse; all rows written
+        input_output_aliases={7: 0, 8: 1},  # buffer reuse; all rows written
         scratch_shapes=[pltpu.VMEM((3 * m_slots, TILE), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 2**20),
         interpret=interpret,
-    )(scal, vpr, gscal, gtab, geom, attrs, fstate, ustate)
+    )(scal, vpr, gscal, gtab, geom, lids, attrs, fstate, ustate)

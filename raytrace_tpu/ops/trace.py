@@ -822,7 +822,7 @@ def _render_band_paged(scene, vp, *, band_h, width, y0, seed_y0, offset_x,
         f, u = rebucket(f, u)
         f2, u2 = pk.paged_megakernel_step(
             scal, vpr, gs, jnp.asarray(g.gtab), jnp.asarray(g.geom),
-            jnp.asarray(g.attrs), f, u,
+            jnp.asarray(g.lids), jnp.asarray(g.attrs), f, u,
             m_slots=m_slots, n_lanes=n, p_total=p_total, width=width,
             max_depth=max_depth, skip_tmax=skip_tmax, k_steps=k,
             interpret=interpret, five=five, textured=textured, carry=carry,

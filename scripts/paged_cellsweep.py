@@ -48,8 +48,8 @@ for f in SCALES:
         continue
     g = r.device_scene.paged
     print(f"scale={f}: cell={float(g.gscal[0, 13]):.3f} "
-          f"n_slots={g.geom.shape[1]//4} geom pages={g.geom.shape[0]} "
-          f"({(g.geom.nbytes + g.attrs.nbytes)/2**20:.0f} MB)", flush=True)
+          f"n_slots={g.lids.shape[1]} geom pages={g.geom.shape[0]} "
+          f"({(g.geom.nbytes + g.lids.nbytes + g.attrs.nbytes)/2**20:.0f} MB)", flush=True)
     renderers[f] = r
 pg.CELL_SIZE_SCALE = 1.0
 

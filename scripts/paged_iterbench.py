@@ -56,7 +56,7 @@ p_total = W * H
 n = -(-p_total // M)
 n_pad = -(-n // pk.TILE) * pk.TILE
 rf = pk.pf_rows(M, pk.n_carry(FIVE, TEXTURED) if CARRY else 0)
-n_slots = g.geom.shape[1] // (5 if FIVE else 4)
+n_slots = g.lids.shape[1]
 ab = g.attrs.shape[1] // ((6 if FIVE else 5) + (4 if TEXTURED else 0))
 n_pages = g.geom.shape[0]
 print(f"pages={n_pages} n_slots={n_slots} ab={ab} lanes={n} pad={n_pad}",
@@ -86,6 +86,7 @@ scal = scal.at[0, S_SPP].set(1_000_000)  # lanes never exhaust
 gscal = jnp.asarray(g.gscal)
 gtab = jnp.asarray(g.gtab)
 geom = jnp.asarray(g.geom)
+lids = jnp.asarray(g.lids)
 attrs = jnp.asarray(g.attrs)
 vpr = jnp.concatenate([
     vp.horizontal, vp.vertical, vp.upper_left, vp.cam_up, vp.cam_right,
@@ -115,9 +116,9 @@ def _rebucket(f, u):
 
 
 # ---- warmup to a realistic mid-flight state -------------------------------
-f, u = step(scal, vpr, gscal, gtab, geom, attrs, fstate, ustate)
+f, u = step(scal, vpr, gscal, gtab, geom, lids, attrs, fstate, ustate)
 f, u = _rebucket(f, u)
-f, u = step(scal, vpr, gscal, gtab, geom, attrs, f, u)
+f, u = step(scal, vpr, gscal, gtab, geom, lids, attrs, f, u)
 f0 = jnp.asarray(np.asarray(f))
 u0 = jnp.asarray(np.asarray(u))
 march = np.asarray(u0[pk.U_MARCH]) != 0
@@ -151,7 +152,7 @@ print(f"per-chunk 2-D BOX trips (the kernel's loop count): "
 def _run_device(f, u, *, ablate, invokes):
     def body(_, st):
         f, u = st
-        return step(scal, vpr, gscal, gtab, geom, attrs, f, u,
+        return step(scal, vpr, gscal, gtab, geom, lids, attrs, f, u,
                     ablate=ablate)
 
     return jax.lax.fori_loop(0, invokes, body, (f, u))

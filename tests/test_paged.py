@@ -39,8 +39,10 @@ def test_builder_dense(dense):
     g = dense.paged
     assert g is not None
     n_pages, r0, lanes = g.geom.shape
-    assert lanes == 128 and r0 % 4 == 0
-    # geometry and attrs ride the SAME 8x16-fine-cell macro pages
+    assert lanes == 128 and r0 % 3 == 0
+    # the lid table is split out of geom (march fetch reads 3 rows/slot)
+    assert g.lids.shape == (n_pages, r0 // 3, 128)
+    # geometry, lids and attrs ride the SAME 8x16-fine-cell macro pages
     assert g.attrs.shape[0] == n_pages
     assert g.attrs.shape[2] == 128
     # flat grid refused this scene (crowded cells), paged took it
@@ -56,7 +58,7 @@ def test_100k_scene_builds():
     sc = random_sphere_field(100_000, seed=1, extent=50.0)
     g = build_paged_grid(sc, sphere_table(sc))
     assert g is not None
-    budget = g.geom.nbytes + g.attrs.nbytes
+    budget = g.geom.nbytes + g.lids.nbytes + g.attrs.nbytes
     assert budget < 80 * 2**20, f"{budget/2**20:.0f} MB"
 
 
@@ -108,8 +110,8 @@ def dense_varied():
 def test_builder_varied_height_layout(dense_varied, dense):
     p = dense_varied.paged
     assert p is not None and p.has_cy is not None
-    n_slots = p.geom.shape[1] // 5
-    assert p.geom.shape[1] == 5 * n_slots
+    n_slots = p.lids.shape[1]
+    assert p.geom.shape[1] == 4 * n_slots  # (cx, cy, cz, kc); lid split out
     assert p.attrs.shape[1] % 6 == 0
     # the uniform fixture must keep the 4-value fast path
     assert dense.paged.has_cy is None
