@@ -390,7 +390,10 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
     # trips), then select the winning slot's row.  bkey bits — and the
     # image — are identical to the old fused layout: the lid VALUE added
     # to pkey is the same float either way.
-    lmask = marching if freeze else upd_any
+    # 'fusedlid' ablate emulates the pre-split fetch COST (lid rows
+    # gathered on every march trip, mask=marching) for in-process
+    # interleaved A/Bs — bit-identical output, old-layout row traffic.
+    lmask = marching if (freeze or "fusedlid" in ablate) else upd_any
     if cut("fetch"):
         lvals = jax.lax.broadcast_in_dim(ox, (n_slots, ox.shape[1]), (0, 1))
     else:

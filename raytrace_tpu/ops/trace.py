@@ -321,6 +321,10 @@ def render_band_core(
             offset_x=offset_x, spp=spp, number=number, accum_init=accum_init,
             max_depth=max_depth, pixels_per_lane=pixels_per_lane,
             skip_tmax=skip_tmax, return_iters=return_iters,
+            # r5 fix: ablate used to be silently DROPPED on this branch,
+            # which made ablate-driven paged A/Bs (and the distinctwalk
+            # bit-identity pin) vacuous through this entry point
+            ablate=ablate,
             # the rebucket interval rides grid_steps[1] and the sort-key
             # mode grid_steps[3] (STATIC args — an env/module knob read at
             # trace time would not key the jit cache and in-process sweeps
@@ -661,8 +665,8 @@ from .megakernel import (S_NUMBER as mega_S_NUMBER, S_OFFX as mega_S_OFFX,
 
 def _render_band_paged(scene, vp, *, band_h, width, y0, seed_y0, offset_x,
                        spp, number, accum_init, max_depth, pixels_per_lane,
-                       skip_tmax, return_iters, k_steps=None, morton=True,
-                       carry=True, rr=None):
+                       skip_tmax, return_iters, ablate=(), k_steps=None,
+                       morton=True, carry=True, rr=None):
     """Paged-grid driver (ops/pagedkernel.py) with lane re-bucketing.
 
     Identical wavefront semantics to the grid/mega drivers, plus: between
@@ -825,8 +829,8 @@ def _render_band_paged(scene, vp, *, band_h, width, y0, seed_y0, offset_x,
             jnp.asarray(g.lids), jnp.asarray(g.attrs), f, u,
             m_slots=m_slots, n_lanes=n, p_total=p_total, width=width,
             max_depth=max_depth, skip_tmax=skip_tmax, k_steps=k,
-            interpret=interpret, five=five, textured=textured, carry=carry,
-            rr=rr,
+            ablate=ablate, interpret=interpret, five=five,
+            textured=textured, carry=carry, rr=rr,
         )
         return (f2, u2, it + k)
 
