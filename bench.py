@@ -220,6 +220,12 @@ def main() -> int:
     probe_spp = int(os.environ.get("BENCH_PROBE_SPP", 256))
     utilization = None
     if r.backend == "grid":
+        # warm the return_iters program: it is a DIFFERENT compiled graph
+        # from the plain render (extra counter outputs), so an unwarmed
+        # probe swallows its first-call compile into t_exec and inflates
+        # us_per_tile_iter/ns_per_sample_exec (observed 27 vs ~9 us in the
+        # first r5 run on a cold cache)
+        np.asarray(r.render_call(4, return_iters=True)[0][:1, :1, :])
         t0 = time.perf_counter()
         # fetching the iteration counters (4 bytes each) inside render_call
         # syncs on the end of device execution WITHOUT the ~1 s full-image
