@@ -48,6 +48,15 @@ F_AXIS_Z = 16  # page fine cells along z
 # smaller cells -> fewer slots (cheaper per-trip gathers) but more march
 # steps.  Applied only when the caller doesn't pass cell_size explicitly.
 CELL_SIZE_SCALE = 1.0
+# Hot/overflow slot split (PagedGridTables.govf): the hot slot count is the
+# HOT_QUANTILE quantile of per-(nonempty-)cell candidate counts, so ~that
+# fraction of cells resolve from the hot fetch alone.  Chunk-granular
+# triggering means the overflow loop fires more often than the per-cell
+# tail (any of a chunk's ~dozens of cells past the threshold trips it),
+# but a triggered loop walks only the OVERFLOWING lanes' box (usually one
+# page).  Build-time knob; sweeps pass hot_slots explicitly.
+HOT_QUANTILE = 0.95
+HOT_MIN_SAVE = 3  # don't split for fewer than this many overflow slots
 
 
 class PagedGridTables(NamedTuple):
@@ -93,6 +102,19 @@ class PagedGridTables(NamedTuple):
     #   (mat, c0.rgb, attr[, cy]), and winner resolution reads tex/c1 from
     #   the page fetch instead of zeros.  Same optional-field static
     #   channel as has_cy.
+    govf: Optional[np.ndarray] = None  # hot/overflow slot split (r5):
+    #   n_slots is the MAX per-cell candidate count, but the mean is far
+    #   lower (~8 vs 22 on the 100k field), so the march loop's per-trip
+    #   gather — row-cost-proportional (the lid split measured -12.6% for
+    #   -20% rows) — mostly fetches poisoned slots.  When set, ``geom``
+    #   holds only the first ``hot`` slots (covering ~HOT_QUANTILE of
+    #   nonempty cells) and ``govf`` [n_pages, w*(n_slots-hot), 128] the
+    #   rest; the kernel fetches govf in a second box loop masked by
+    #   "slot hot-1's kc is non-poison" (count >= hot — conservative:
+    #   lanes in shallow cells never trigger it).  Slot ORDER is
+    #   unchanged, so candidates are tested in the same sequence and the
+    #   image is bit-identical to the unsplit layout.  The kernel derives
+    #   the split point from geom.shape (statics can't ride a pytree).
 
 
 # gscal slots (first 12 match models.grid G_* where meaningful)
@@ -103,7 +125,8 @@ P_NSCZM = 14  # geom (8x16 macro) page count along z
 
 
 def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None,
-                     max_slots: int = 32, max_ab: int = 4, pad_slots: int = 0):
+                     max_slots: int = 32, max_ab: int = 4, pad_slots: int = 0,
+                     hot_slots: Optional[int] = None):
     """Build paged tables or return None when the scene doesn't fit
     (crowded fine cells / oversized page sphere lists / non-uniform field).
 
@@ -111,6 +134,11 @@ def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None
     guaranteed misses, image bits unchanged).  Row-sensitivity probe for the
     march fetch: if padded tables time FLAT, per-trip gather cost is fixed-
     cost-bound and slot-count reduction work is pointless (and vice versa).
+
+    ``hot_slots``: explicit hot/overflow split point (see PagedGridTables
+    .govf).  None = auto (HOT_QUANTILE of per-cell candidate counts);
+    pass n_slots (or any value within HOT_MIN_SAVE of it) to disable the
+    split.  Image bits are invariant to the choice.
     """
     centers = np.asarray(scene.centers, np.float32)
     radii = np.asarray(scene.radii, np.float32)
@@ -188,6 +216,17 @@ def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None
     n_slots = max(n_slots, pad_slots)
     if n_slots > max_slots:
         return None
+    # hot/overflow split point (see PagedGridTables.govf): quantile of
+    # per-nonempty-cell candidate counts
+    if hot_slots is None:
+        counts = np.diff(np.r_[start_pos, len(cell)])
+        hot = (int(np.ceil(np.quantile(counts, HOT_QUANTILE)))
+               if len(counts) else n_slots)
+    else:
+        hot = int(hot_slots)
+    hot = min(max(hot, 1), n_slots)
+    if n_slots - hot < HOT_MIN_SAVE:
+        hot = n_slots
     page = (ixs // F_AXIS) * nsc_z + (izs // F_AXIS_Z)  # 8x16 page
 
     # page-local sphere ids: unique (page, sphere) ranked within page
@@ -283,8 +322,15 @@ def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None
     gscal[0, P_S] = s
     gscal[0, P_NSCZM] = np.float32(nsc_z)
 
+    geom3 = geom.reshape(n_pages, r0, PAGE_LANES)
+    govf = None
+    if hot < n_slots:
+        govf = np.ascontiguousarray(geom3[:, w * hot :, :])
+        geom3 = np.ascontiguousarray(geom3[:, : w * hot, :])
+
     return PagedGridTables(
-        geom=geom.reshape(n_pages, r0, PAGE_LANES),
+        geom=geom3,
+        govf=govf,
         lids=lidt.reshape(n_pages, n_slots, PAGE_LANES),
         attrs=attrs.reshape(n_pages, a0, PAGE_LANES),
         gtab=gtab, gscal=gscal,

@@ -234,8 +234,8 @@ def _ab_select(at, lid, *, ab, five, textured):
 
 
 def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
-             lids_ref, attrs_ref, *, m_slots, n_lanes, p_total, width,
-             max_depth, tmin, tmax, skip_tmax, n_slots, ab, ablate,
+             govf_ref, lids_ref, attrs_ref, *, m_slots, n_lanes, p_total,
+             width, max_depth, tmin, tmax, skip_tmax, n_slots, ab, ablate,
              five=False, textured=False, carry=True, rr=None):
     (ox, oy, oz, dx, dy, dz, fx, fy, tx_, ty_, tz_,
      t_b, t_end, t_nx, t_nz, bkey, wcx, wcz, cr_, cg_, cb2_,
@@ -354,12 +354,38 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
     # "winner improved this cell" (~once per segment).
     wq = 4 if five else 3
     dwalk = "distinctwalk" in ablate
+    # hot/overflow slot split (models/paged_grid.py govf): the hot fetch
+    # reads only the first n_hot slots' rows; overflow slots (rare — the
+    # builder puts ~HOT_QUANTILE of cells entirely in the hot region) are
+    # fetched in a second box loop masked by "slot n_hot-1's kc is
+    # non-poison" (count >= n_hot; conservative — a cell with overflow
+    # candidates always has its last hot slot occupied).  Slot order and
+    # every quadratic's inputs are unchanged -> bit-identical images.
+    n_hot = n_slots if govf_ref is None else geom_ref.shape[1] // wq
     if cut("fetch"):
-        vals = jax.lax.broadcast_in_dim(ox, (wq * n_slots, ox.shape[1]), (0, 1))
+        vals = jax.lax.broadcast_in_dim(ox, (wq * n_hot, ox.shape[1]), (0, 1))
     else:
         vals = _page_fetch(geom_ref, sxm, szm, nsczm_i, fc, marching,
-                           n_rows=wq * n_slots, poison_rows=(wq - 1, wq),
+                           n_rows=wq * n_hot, poison_rows=(wq - 1, wq),
                            distinct=dwalk)
+    vals_ovf = None
+    if govf_ref is not None:
+        # 'fusedovf' emulates the unsplit fetch COST (overflow rows
+        # gathered on every march trip) for in-process interleaved A/Bs;
+        # freeze probes also fetch unconditionally so cut_* attribution
+        # sees the full fetch section.
+        ovfm = marching & (vals[wq * n_hot - 1 : wq * n_hot, :]
+                           < np.float32(1e30))
+        if freeze or "fusedovf" in ablate:
+            ovfm = marching
+        n_ovf_rows = wq * (n_slots - n_hot)
+        if cut("fetch"):
+            vals_ovf = jax.lax.broadcast_in_dim(
+                ox, (n_ovf_rows, ox.shape[1]), (0, 1))
+        else:
+            vals_ovf = _page_fetch(govf_ref, sxm, szm, nsczm_i, fc, ovfm,
+                                   n_rows=n_ovf_rows,
+                                   poison_rows=(wq - 1, wq), distinct=dwalk)
     # bkey packs the winner as ((sx<<5)|sz)<<9 | lid — page coords in
     # separate bit fields (not the linear page id) so winner resolution
     # can rebuild the 2-D box for its own page loop with static shifts.
@@ -368,21 +394,22 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
     upd_any = None
     wslot = jnp.zeros_like(cell)
     for s in range(n_slots):
-        b0 = wq * s
-        s_cy = vals[b0 + 1 : b0 + 2, :] if five else cy_u
+        v, b0 = ((vals, wq * s) if s < n_hot
+                 else (vals_ovf, wq * (s - n_hot)))
+        s_cy = v[b0 + 1 : b0 + 2, :] if five else cy_u
         if cut("quad"):
-            tc = vals[b0 : b0 + 1, :] + oy
+            tc = v[b0 : b0 + 1, :] + oy
         else:
             tc = _quadratic(ox, oy, oz, dx, dy, dz, a, od, oo, inv_a,
-                            vals[b0 : b0 + 1, :], s_cy,
-                            vals[b0 + wq - 2 : b0 + wq - 1, :],
-                            vals[b0 + wq - 1 : b0 + wq, :],
+                            v[b0 : b0 + 1, :], s_cy,
+                            v[b0 + wq - 2 : b0 + wq - 1, :],
+                            v[b0 + wq - 1 : b0 + wq, :],
                             tmin=tmin, tmax=tmax, skip_tmax=skip_tmax)
         upd = marching & (tc < t_b)
         t_b = jnp.where(upd, tc, t_b)
         wslot = jnp.where(upd, s, wslot)
-        wcx = jnp.where(upd, vals[b0 : b0 + 1, :], wcx)
-        wcz = jnp.where(upd, vals[b0 + wq - 2 : b0 + wq - 1, :], wcz)
+        wcx = jnp.where(upd, v[b0 : b0 + 1, :], wcx)
+        wcz = jnp.where(upd, v[b0 + wq - 2 : b0 + wq - 1, :], wcz)
         upd_any = upd if upd_any is None else (upd_any | upd)
 
     # deferred winner lid: fetch the page's lid rows only where a winner
@@ -645,10 +672,10 @@ def _iterate(st, acc_ref, scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
     )
 
 
-def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, lids_ref,
-            attrs_ref, fin_ref, uin_ref, fout_ref, uout_ref, acc_ref, *,
-            m_slots, n_lanes, p_total, width, max_depth, tmin, tmax,
-            k_steps, n_slots, ab, skip_tmax, ablate, five=False,
+def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, govf_ref,
+            lids_ref, attrs_ref, fin_ref, uin_ref, fout_ref, uout_ref,
+            acc_ref, *, m_slots, n_lanes, p_total, width, max_depth, tmin,
+            tmax, k_steps, n_slots, ab, skip_tmax, ablate, five=False,
             textured=False, carry=True, rr=None):
     # ---- per-tile dead-skip (drain harvest, VERDICT r4 item 1) ----------
     # The driver's rebucket sorts dead lanes last (trace.py _pred_page key
@@ -674,8 +701,8 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, lids_ref,
     @run_gate
     def _run_body():
         _kernel_body(
-            scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, lids_ref,
-            attrs_ref,
+            scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, govf_ref,
+            lids_ref, attrs_ref,
             fin_ref, uin_ref, fout_ref, uout_ref, acc_ref, m_slots=m_slots,
             n_lanes=n_lanes, p_total=p_total, width=width,
             max_depth=max_depth, tmin=tmin, tmax=tmax, k_steps=k_steps,
@@ -683,11 +710,11 @@ def _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, lids_ref,
             five=five, textured=textured, carry=carry, rr=rr)
 
 
-def _kernel_body(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, lids_ref,
-                 attrs_ref, fin_ref, uin_ref, fout_ref, uout_ref, acc_ref, *,
-                 m_slots, n_lanes, p_total, width, max_depth, tmin, tmax,
-                 k_steps, n_slots, ab, skip_tmax, ablate, five, textured,
-                 carry, rr):
+def _kernel_body(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, govf_ref,
+                 lids_ref, attrs_ref, fin_ref, uin_ref, fout_ref, uout_ref,
+                 acc_ref, *, m_slots, n_lanes, p_total, width, max_depth,
+                 tmin, tmax, k_steps, n_slots, ab, skip_tmax, ablate, five,
+                 textured, carry, rr):
     a0 = R_ACC + 3 * m_slots  # carried attr rows live after the acc slots
     nc = n_carry(five, textured) if carry else 0
     st = (
@@ -719,6 +746,7 @@ def _kernel_body(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, lids_ref,
     step = functools.partial(
         _iterate, acc_ref=acc_ref, scal_ref=scal_ref, vpr_ref=vpr_ref,
         gscal_ref=gscal_ref, gtab_ref=gtab_ref, geom_ref=geom_ref,
+        govf_ref=govf_ref,
         lids_ref=lids_ref, attrs_ref=attrs_ref, m_slots=m_slots, n_lanes=n_lanes,
         p_total=p_total, width=width, max_depth=max_depth, tmin=tmin,
         tmax=tmax, skip_tmax=skip_tmax, n_slots=n_slots, ab=ab,
@@ -767,37 +795,68 @@ def paged_megakernel_step(scal, vpr, gscal, gtab, geom, lids, attrs, fstate,
                           ustate, *, m_slots, n_lanes, p_total, width,
                           max_depth, k_steps=K_STEPS, skip_tmax=False,
                           ablate=(), interpret=False, five=False,
-                          textured=False, carry=True, rr=None):
-    """``k_steps`` paged-grid wavefront iterations over all lanes."""
+                          textured=False, carry=True, rr=None, govf=None):
+    """``k_steps`` paged-grid wavefront iterations over all lanes.
+
+    ``govf``: optional overflow slot table (models/paged_grid.py
+    PagedGridTables.govf) — when present, ``geom`` holds only the hot
+    slots and the kernel fetches the rest in a rare masked box loop.
+    """
     n_pad = fstate.shape[1]
     rf = pf_rows(m_slots, n_carry(five, textured) if carry else 0)
     grid = n_pad // TILE
     n_slots = lids.shape[1]
-    assert geom.shape[1] == (4 if five else 3) * n_slots, (
-        geom.shape, lids.shape, five)
+    wq = 4 if five else 3
+    assert (geom.shape[1] + (0 if govf is None else govf.shape[1])
+            == wq * n_slots), (geom.shape, None if govf is None
+                               else govf.shape, lids.shape, five)
     ab = attrs.shape[1] // ((6 if five else 5) + (4 if textured else 0))
-    kernel = functools.partial(
-        _kernel, m_slots=m_slots, n_lanes=n_lanes, p_total=p_total,
+    kw = dict(
+        m_slots=m_slots, n_lanes=n_lanes, p_total=p_total,
         width=width, max_depth=max_depth, tmin=np.float32(config.T_MIN),
         tmax=np.float32(config.MAX_RAY_COLLISION_DISTANCE), k_steps=k_steps,
         n_slots=n_slots, ab=ab, skip_tmax=skip_tmax,
         ablate=frozenset(ablate), five=five, textured=textured, carry=carry,
         rr=rr,
     )
+    if govf is None:
+        def kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
+                   lids_ref, attrs_ref, fin_ref, uin_ref, fout_ref,
+                   uout_ref, acc_ref):
+            _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref, None,
+                    lids_ref, attrs_ref, fin_ref, uin_ref, fout_ref,
+                    uout_ref, acc_ref, **kw)
+    else:
+        def kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
+                   govf_ref, lids_ref, attrs_ref, fin_ref, uin_ref,
+                   fout_ref, uout_ref, acc_ref):
+            _kernel(scal_ref, vpr_ref, gscal_ref, gtab_ref, geom_ref,
+                    govf_ref, lids_ref, attrs_ref, fin_ref, uin_ref,
+                    fout_ref, uout_ref, acc_ref, **kw)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # scal (1, 8) i32
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # vpr (1, 24) f32
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # gscal (1, 16) f32
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # gtab (Gp, 16) f32
+        pl.BlockSpec(geom.shape, lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    inputs = [scal, vpr, gscal, gtab, geom]
+    if govf is not None:
+        in_specs.append(pl.BlockSpec(govf.shape, lambda g: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(govf)
+    in_specs += [
+        pl.BlockSpec(lids.shape, lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(attrs.shape, lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rf, TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
+        pl.BlockSpec((U_ROWS, TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
+    ]
+    inputs += [lids, attrs, fstate, ustate]
+    nin = len(inputs)
     return pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # scal (1, 8) i32
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # vpr (1, 24) f32
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # gscal (1, 16) f32
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # gtab (Gp, 16) f32
-            pl.BlockSpec(geom.shape, lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(lids.shape, lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(attrs.shape, lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rf, TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
-            pl.BlockSpec((U_ROWS, TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((rf, TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
             pl.BlockSpec((U_ROWS, TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
@@ -806,8 +865,9 @@ def paged_megakernel_step(scal, vpr, gscal, gtab, geom, lids, attrs, fstate,
             jax.ShapeDtypeStruct((rf, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((U_ROWS, n_pad), jnp.uint32),
         ],
-        input_output_aliases={7: 0, 8: 1},  # buffer reuse; all rows written
+        # buffer reuse; all rows written
+        input_output_aliases={nin - 2: 0, nin - 1: 1},
         scratch_shapes=[pltpu.VMEM((3 * m_slots, TILE), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 2**20),
         interpret=interpret,
-    )(scal, vpr, gscal, gtab, geom, lids, attrs, fstate, ustate)
+    )(*inputs)

@@ -831,6 +831,7 @@ def _render_band_paged(scene, vp, *, band_h, width, y0, seed_y0, offset_x,
             max_depth=max_depth, skip_tmax=skip_tmax, k_steps=k,
             ablate=ablate, interpret=interpret, five=five,
             textured=textured, carry=carry, rr=rr,
+            govf=None if g.govf is None else jnp.asarray(g.govf),
         )
         return (f2, u2, it + k)
 

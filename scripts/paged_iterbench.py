@@ -96,7 +96,8 @@ vpr = jnp.concatenate([
 step = functools.partial(
     pk.paged_megakernel_step, m_slots=M, n_lanes=n, p_total=p_total,
     width=W, max_depth=50, skip_tmax=True, five=FIVE, textured=TEXTURED,
-    carry=CARRY)
+    carry=CARRY,
+    govf=None if g.govf is None else jnp.asarray(g.govf))
 
 
 @jax.jit

@@ -40,8 +40,14 @@ def test_builder_dense(dense):
     assert g is not None
     n_pages, r0, lanes = g.geom.shape
     assert lanes == 128 and r0 % 3 == 0
-    # the lid table is split out of geom (march fetch reads 3 rows/slot)
-    assert g.lids.shape == (n_pages, r0 // 3, 128)
+    # the lid table is split out of geom (march fetch reads 3 rows/slot),
+    # and overflow slots may be split into govf (hot/overflow, r5):
+    # hot + overflow rows must cover every lid slot exactly
+    ovf_rows = 0 if g.govf is None else g.govf.shape[1]
+    assert g.lids.shape == (n_pages, (r0 + ovf_rows) // 3, 128)
+    if g.govf is not None:
+        assert g.govf.shape[0] == n_pages and g.govf.shape[2] == 128
+        assert g.govf.shape[1] % 3 == 0
     # geometry, lids and attrs ride the SAME 8x16-fine-cell macro pages
     assert g.attrs.shape[0] == n_pages
     assert g.attrs.shape[2] == 128
@@ -58,7 +64,8 @@ def test_100k_scene_builds():
     sc = random_sphere_field(100_000, seed=1, extent=50.0)
     g = build_paged_grid(sc, sphere_table(sc))
     assert g is not None
-    budget = g.geom.nbytes + g.lids.nbytes + g.attrs.nbytes
+    budget = (g.geom.nbytes + g.lids.nbytes + g.attrs.nbytes
+              + (0 if g.govf is None else g.govf.nbytes))
     assert budget < 80 * 2**20, f"{budget/2**20:.0f} MB"
 
 
@@ -77,6 +84,24 @@ def test_paged_matches_mega_within_chaos(dense):
 def test_paged_shallow_bit_identical(dense):
     a = _render(dense, "mega", depth=2, spp=1, m=1)
     b = _render(dense, "paged", depth=2, spp=1, m=1)
+    assert np.array_equal(a, b)
+
+
+def test_paged_hot_split_bit_identical(dense):
+    """Hot/overflow slot split (models/paged_grid.py govf): tables built
+    WITHOUT the split (hot_slots=n_slots) must render bit-identically to
+    the auto-split default — candidates are tested in the same slot order
+    with the same values; only the fetch structure differs.  The dense
+    fixture auto-splits (n_slots 21, hot ~14), so the default path above
+    already exercises the split; this pins the equivalence."""
+    g = dense.paged
+    assert g.govf is not None  # fixture must actually exercise the split
+    sc = random_sphere_field(2000, seed=1, extent=7.0)
+    g_unsplit = build_paged_grid(sc, sphere_table(sc),
+                                 hot_slots=g.lids.shape[1])
+    assert g_unsplit.govf is None
+    a = _render(dense, "paged", depth=4, spp=2)
+    b = _render(dense._replace(paged=g_unsplit), "paged", depth=4, spp=2)
     assert np.array_equal(a, b)
 
 
@@ -111,7 +136,9 @@ def test_builder_varied_height_layout(dense_varied, dense):
     p = dense_varied.paged
     assert p is not None and p.has_cy is not None
     n_slots = p.lids.shape[1]
-    assert p.geom.shape[1] == 4 * n_slots  # (cx, cy, cz, kc); lid split out
+    # (cx, cy, cz, kc) per slot; lid split out; overflow slots in govf
+    ovf = 0 if p.govf is None else p.govf.shape[1]
+    assert p.geom.shape[1] + ovf == 4 * n_slots
     assert p.attrs.shape[1] % 6 == 0
     # the uniform fixture must keep the 4-value fast path
     assert dense.paged.has_cy is None
