@@ -48,13 +48,15 @@ F_AXIS_Z = 16  # page fine cells along z
 # smaller cells -> fewer slots (cheaper per-trip gathers) but more march
 # steps.  Applied only when the caller doesn't pass cell_size explicitly.
 CELL_SIZE_SCALE = 1.0
-# Hot/overflow slot split (PagedGridTables.govf): the hot slot count is the
+# Hot/overflow slot split (PagedGridTables.govf): hot_slots=-1 picks the
 # HOT_QUANTILE quantile of per-(nonempty-)cell candidate counts, so ~that
-# fraction of cells resolve from the hot fetch alone.  Chunk-granular
-# triggering means the overflow loop fires more often than the per-cell
-# tail (any of a chunk's ~dozens of cells past the threshold trips it),
-# but a triggered loop walks only the OVERFLOWING lanes' box (usually one
-# page).  Build-time knob; sweeps pass hot_slots explicitly.
+# fraction of cells resolve from the hot fetch alone.  MEASURED FLAT on
+# config 5 (scripts/hotsplit_ab.py, two interleaved hardware sessions:
+# hot16 -7.2% then +4.2% vs unsplit — dispatch-scale noise +-10-20% that
+# day swamped any effect; chunk-granular triggering plausibly returns the
+# row saving as overflow box walks).  Default is therefore NO split
+# (hot_slots=None); the mechanism, bit-identity pin and A/B script stay
+# for re-measurement on other chips/scenes.
 HOT_QUANTILE = 0.95
 HOT_MIN_SAVE = 3  # don't split for fewer than this many overflow slots
 
@@ -135,10 +137,11 @@ def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None
     march fetch: if padded tables time FLAT, per-trip gather cost is fixed-
     cost-bound and slot-count reduction work is pointless (and vice versa).
 
-    ``hot_slots``: explicit hot/overflow split point (see PagedGridTables
-    .govf).  None = auto (HOT_QUANTILE of per-cell candidate counts);
-    pass n_slots (or any value within HOT_MIN_SAVE of it) to disable the
-    split.  Image bits are invariant to the choice.
+    ``hot_slots``: hot/overflow split point (see PagedGridTables.govf).
+    None (default) = no split — measured flat on config 5, see the
+    HOT_QUANTILE note; -1 = auto (HOT_QUANTILE of per-cell candidate
+    counts); an explicit int pins the split there.  Image bits are
+    invariant to the choice.
     """
     centers = np.asarray(scene.centers, np.float32)
     radii = np.asarray(scene.radii, np.float32)
@@ -219,6 +222,8 @@ def build_paged_grid(scene, table: np.ndarray, cell_size: Optional[float] = None
     # hot/overflow split point (see PagedGridTables.govf): quantile of
     # per-nonempty-cell candidate counts
     if hot_slots is None:
+        hot = n_slots  # default: no split (measured flat — HOT_QUANTILE note)
+    elif hot_slots == -1:
         counts = np.diff(np.r_[start_pos, len(cell)])
         hot = (int(np.ceil(np.quantile(counts, HOT_QUANTILE)))
                if len(counts) else n_slots)

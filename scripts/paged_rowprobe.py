@@ -40,7 +40,15 @@ def main() -> int:
     ds = prepare_scene(scene)
     assert ds.paged is not None
     table = np.asarray(sphere_table(scene))
-    padded = build_paged_grid(scene, table, pad_slots=pad)
+    # both variants UNSPLIT (hot_slots past n_slots disables the r5
+    # hot/overflow split): with the split active, poison pad slots would
+    # land in the rarely-fetched govf table and the probe would measure
+    # nothing.  Hot-region row sensitivity is now swept directly by
+    # scripts/hotsplit_ab.py; this probe keeps its original semantics.
+    base = build_paged_grid(scene, table, hot_slots=10_000)
+    assert base is not None
+    ds = ds._replace(paged=base)
+    padded = build_paged_grid(scene, table, pad_slots=pad, hot_slots=10_000)
     assert padded is not None
     ds_pad = ds._replace(paged=padded)
     vp = viewport_arrays(reference_camera(), w, h)

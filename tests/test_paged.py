@@ -89,19 +89,18 @@ def test_paged_shallow_bit_identical(dense):
 
 def test_paged_hot_split_bit_identical(dense):
     """Hot/overflow slot split (models/paged_grid.py govf): tables built
-    WITHOUT the split (hot_slots=n_slots) must render bit-identically to
-    the auto-split default — candidates are tested in the same slot order
-    with the same values; only the fetch structure differs.  The dense
-    fixture auto-splits (n_slots 21, hot ~14), so the default path above
-    already exercises the split; this pins the equivalence."""
+    WITH the split (hot_slots=-1, the HOT_QUANTILE auto rule — measured
+    flat on hardware and therefore not the default) must render
+    bit-identically to the default unsplit build — candidates are tested
+    in the same slot order with the same values; only the fetch structure
+    differs."""
     g = dense.paged
-    assert g.govf is not None  # fixture must actually exercise the split
+    assert g.govf is None  # default build: no split
     sc = random_sphere_field(2000, seed=1, extent=7.0)
-    g_unsplit = build_paged_grid(sc, sphere_table(sc),
-                                 hot_slots=g.lids.shape[1])
-    assert g_unsplit.govf is None
+    g_split = build_paged_grid(sc, sphere_table(sc), hot_slots=-1)
+    assert g_split.govf is not None  # auto rule splits this field (~14/21)
     a = _render(dense, "paged", depth=4, spp=2)
-    b = _render(dense._replace(paged=g_unsplit), "paged", depth=4, spp=2)
+    b = _render(dense._replace(paged=g_split), "paged", depth=4, spp=2)
     assert np.array_equal(a, b)
 
 
