@@ -198,15 +198,27 @@ def main() -> int:
     # swapchain sync amortizes across its loop.
     spp1_frame_loop_ms = None
     if r.backend == "grid":
+        import dataclasses as _dc
+
+        # the frame-loop operating point wants FEWER pixels per lane than
+        # the throughput render: at spp=1 a lane renders its M pixels'
+        # single samples sequentially inside each merged call, so M sets
+        # the per-frame critical path.  r5 sweep (scripts/spp1_loop_sweep
+        # .py, 6 interleaved rounds, ~0.1 ms spread): M=8/16/32/64 =
+        # 7.52/7.41/7.71/8.48 ms/frame — M=16 runs the loop at the
+        # flagship's steady sample rate (3.57 ns/sample), i.e. zero
+        # scheduling headroom left at spp=1.
+        r_fl = Renderer(_dc.replace(cfg, pixels_per_lane=16))
         reps = 65
-        np.asarray(r.render_call(1, n_calls=reps, spp_last=1)[:1, :1, :])
+        np.asarray(r_fl.render_call(1)[:1, :1, :])
+        np.asarray(r_fl.render_call(1, n_calls=reps, spp_last=1)[:1, :1, :])
         t_one, t_many = [], []
         for _ in range(3):
             t0 = time.perf_counter()
-            np.asarray(r.render_call(1)[:1, :1, :])
+            np.asarray(r_fl.render_call(1)[:1, :1, :])
             t_one.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
-            np.asarray(r.render_call(1, n_calls=reps, spp_last=1)[:1, :1, :])
+            np.asarray(r_fl.render_call(1, n_calls=reps, spp_last=1)[:1, :1, :])
             t_many.append(time.perf_counter() - t0)
         spp1_frame_loop_ms = (
             (sorted(t_many)[1] - sorted(t_one)[1]) / (reps - 1) * 1e3)
